@@ -1,0 +1,61 @@
+"""spark-submit entry point for the extraction pipeline.
+
+Usage (north_rule launch shape, SURVEY.md §3.4):
+
+    spark-submit --master local[32] --py-files engine.zip \
+        jobs/extract_job.py --sf-dir /root/testdata/sf0.001 \
+        --out /tmp/extracted --run-id run1 [--partitions 64] [--salt 16]
+
+Writes the ordered extraction output as parquet to <out>/extracted and the
+per-partition lineage/metrics rows to <out>/metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", required=True, help="dir with documents.parquet")
+    ap.add_argument("--out", required=True, help="output directory")
+    ap.add_argument("--run-id", default="adhoc")
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--salt", type=int, default=16)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from text_ocr_spark.pipeline import (
+        build_transcripts,
+        extract_transcripts,
+        lineage_metrics,
+        ordered,
+    )
+
+    spark = SparkSession.builder.appName("text_ocr_spark.extract").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    t0 = time.time()
+    transcripts = build_transcripts(spark, args.sf_dir)
+    extracted = extract_transcripts(
+        transcripts, salt_buckets=args.salt, num_partitions=args.partitions
+    )
+    # cache so the metrics aggregation doesn't recompute the extraction
+    extracted.persist()
+    out = ordered(extracted, num_partitions=args.partitions).drop("spans")
+    out.write.mode("overwrite").parquet(f"{args.out}/extracted")
+    lineage_metrics(extracted, run_id=args.run_id).write.mode("overwrite").parquet(
+        f"{args.out}/metrics"
+    )
+    n = extracted.count()
+    extracted.unpersist()
+    dt = time.time() - t0
+    print(f'{{"rows": {n}, "secs": {dt:.2f}, "turns_per_sec": {n / dt:.1f}}}')
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

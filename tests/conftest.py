@@ -1,0 +1,44 @@
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_TINY = "/root/testdata/sf0.001"
+SF_SMALL = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from text_ocr_spark.pipeline import session_builder
+
+    spark = (
+        session_builder(master="local[4]", app="text_ocr_spark-tests")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
+    yield spark
+    spark.stop()
+
+
+@pytest.fixture(scope="session")
+def docs_tiny() -> pd.DataFrame:
+    return duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF_TINY}/documents.parquet')"
+        " ORDER BY doc_id"
+    ).df()
+
+
+@pytest.fixture(scope="session")
+def transcripts_tiny(docs_tiny) -> pd.DataFrame:
+    from text_ocr_spark.fixtures import make_transcripts_pdf
+
+    return make_transcripts_pdf(docs_tiny)
+
+
+@pytest.fixture(scope="session")
+def golden_tiny(transcripts_tiny) -> pd.DataFrame:
+    from text_ocr_spark.oracle import golden_frame
+
+    return golden_frame(transcripts_tiny)

@@ -1,0 +1,100 @@
+"""Golden end-to-end: Spark pipeline output == pure-Python oracle, byte-equal
+per turn under stable (conv_id, turn_idx) ordering (the north_rule gate)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pandas.testing import assert_frame_equal
+
+from tests.conftest import SF_TINY
+
+GOLDEN_COLS = ["conv_id", "turn_idx", "kind", "extracted", "spans_json"]
+
+
+@pytest.fixture(scope="module")
+def extracted_spark(spark) -> pd.DataFrame:
+    from text_ocr_spark.pipeline import run_extraction
+
+    out = run_extraction(spark, SF_TINY)
+    return out.select(*GOLDEN_COLS).toPandas()
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.copy()
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    return (
+        out.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)[GOLDEN_COLS]
+    )
+
+
+def test_per_turn_byte_equality(extracted_spark, golden_tiny):
+    got = _canon(extracted_spark)
+    want = _canon(golden_tiny)
+    assert len(got) == len(want)
+    assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_count_conservation(extracted_spark, transcripts_tiny):
+    # every turn appears exactly once, including null/empty payloads
+    assert len(extracted_spark) == len(transcripts_tiny)
+    keys = extracted_spark[["conv_id", "turn_idx"]].drop_duplicates()
+    assert len(keys) == len(extracted_spark)
+
+
+def test_order_invariance_under_salting(spark, golden_tiny):
+    """Shuffled input + different salt bucket count -> identical output."""
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.pipeline import (
+        build_transcripts,
+        extract_transcripts,
+        ordered,
+    )
+
+    t = build_transcripts(spark, SF_TINY)
+    shuffled = t.orderBy(F.xxhash64("conv_id", "turn_idx"))  # scramble order
+    out = ordered(extract_transcripts(shuffled, salt_buckets=5, num_partitions=7))
+    got = _canon(out.select(*GOLDEN_COLS).toPandas())
+    assert_frame_equal(got, _canon(golden_tiny), check_dtype=False)
+
+
+def test_ordered_output_is_sorted(extracted_spark):
+    # toPandas() of the ordered() plan preserves partition-range order
+    keys = list(zip(extracted_spark.conv_id, extracted_spark.turn_idx))
+    assert keys == sorted(keys)
+
+
+def test_lineage_metrics(spark):
+    from text_ocr_spark.pipeline import (
+        build_transcripts,
+        extract_transcripts,
+        lineage_metrics,
+    )
+
+    t = build_transcripts(spark, SF_TINY)
+    ex = extract_transcripts(t, num_partitions=6)
+    m = lineage_metrics(ex, run_id="test-run").toPandas()
+    assert m.rows_out.sum() == t.count()
+    assert (m.run_id == "test-run").all()
+    for k in ("n_html", "n_pdf", "n_ocr", "n_plain", "n_empty"):
+        assert k in m.columns
+    assert m.bytes_in.sum() > 0 and m.bytes_out.sum() > 0
+
+
+def test_transcript_shape(spark):
+    from text_ocr_spark.pipeline import build_transcripts
+
+    t = build_transcripts(spark, SF_TINY)
+    assert [f.name for f in t.schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts",
+    ]
+    types = {f.name: f.dataType.simpleString() for f in t.schema.fields}
+    assert types["turn_idx"] == "int"
+    assert types["ts"] == "timestamp"
+    # skew conversation exists and is the hot key
+    from pyspark.sql import functions as F
+
+    counts = t.groupBy("conv_id").count().orderBy(F.desc("count")).take(1)
+    assert counts[0]["conv_id"] == "conv-skew" and counts[0]["count"] == 100

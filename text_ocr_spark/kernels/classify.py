@@ -1,0 +1,43 @@
+"""Payload-kind classifier — the angle-classifier analog (E5/E7).
+
+The reference routes crops through a 4-class ShuffleNet angle head
+(ocrcvlib/src/main/cpp/jni/ocr.cpp:428-452) to pick the recognizer; the
+graft routes payloads through a rule cascade {empty, pdf, html, ocr, plain}
+to pick the extractor. Content sniffing is authoritative; the ``tool``
+column hint only breaks the ocr-vs-plain tie (FIXTURES.md makes ~5% of
+hints deliberately wrong). The reference's argmax bug
+(ocrcvlib/.../ocr.cpp:448 compares value to index) is NOT replicated —
+this cascade is a correct priority order (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import re
+
+_GLYPH_LINE_RE = re.compile(r"(?m)^G -?[0-9]")
+_TAG_RE = re.compile(r"</?[a-zA-Z][a-zA-Z0-9]*(?:\s[^>]*)?>")
+_OCR_ARTIFACT_RE = re.compile(
+    "[\\ufb00-\\ufb06"            # ligatures ff..st
+    "\\u200b-\\u200d\\ufeff"      # zero-width + BOM
+    "\\u00a0\\u3000"              # NBSP / ideographic space
+    "\\uff01-\\uff5e]"            # fullwidth ASCII
+)
+_STUTTER_RE = re.compile(r"(\S)\1{2,}")
+
+#: tool-column hints that vote for the ocr path when content is ambiguous
+_OCR_HINTS = frozenset({"ocr", "ocr_read", "screenshot_ocr"})
+
+
+def classify_payload(text: str | None, tool: str | None = None) -> str:
+    """-> one of {'empty','pdf','html','ocr','plain'}."""
+    if text is None or text.strip() == "":
+        return "empty"
+    if text.startswith("%PDF") or len(_GLYPH_LINE_RE.findall(text)) >= 3:
+        return "pdf"
+    if len(_TAG_RE.findall(text)) >= 2:
+        return "html"
+    if _OCR_ARTIFACT_RE.search(text) or _STUTTER_RE.search(text):
+        return "ocr"
+    if tool is not None and tool in _OCR_HINTS:
+        return "ocr"
+    return "plain"

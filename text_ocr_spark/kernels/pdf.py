@@ -1,0 +1,218 @@
+"""PDF glyph-dump layout parser — the geometry family (D1-D8) of the graft.
+
+Payload grammar: one glyph per line, ``G x y w h ch`` (floats + a single
+char); anything else is noise and ignored. Glyphs cluster into text lines
+(y-interval merge), lines into words (x-gap split), lines into blocks
+(y-adjacency + x-overlap) — the connected-component + min-area-rect analog
+(ref ocrlib/src/main/cpp/jni/convexHull.cpp:433-466: region -> minAreaRect;
+here a block's rect is plain min/max aggregates, the degenerate axis-aligned
+case).
+
+Pinned semantics:
+- line break when |y - current line mean y| > PDF_LINE_Y_TOL * median height;
+- word break when x gap > PDF_WORD_GAP * median width;
+- block merge when y gap <= PDF_BLOCK_Y_GAP * median height AND x-interval
+  overlap >= PDF_BLOCK_X_OVERLAP * the narrower interval;
+- blocks with < MIN_TOKENS words are dropped (header/footer noise — the
+  min-area filter, ref ocrlib/src/main/cpp/jni/ocr.cpp:191);
+- reading order: left column first, then top-to-bottom (column = block x0
+  vs page midpoint); spans are sorted by raw offset, independent of
+  reading order.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from text_ocr_spark.kernels.constants import (
+    MIN_TOKENS,
+    PDF_BLOCK_X_OVERLAP,
+    PDF_BLOCK_Y_GAP,
+    PDF_COL_GAP,
+    PDF_LINE_Y_TOL,
+    PDF_WORD_GAP,
+)
+from text_ocr_spark.kernels.normalize import normalize_text
+
+_GLYPH_RE = re.compile(
+    r"^G (-?[0-9]+(?:\.[0-9]+)?) (-?[0-9]+(?:\.[0-9]+)?) "
+    r"(-?[0-9]+(?:\.[0-9]+)?) (-?[0-9]+(?:\.[0-9]+)?) (\S)$"
+)
+
+
+@dataclass
+class Glyph:
+    x: float
+    y: float
+    w: float
+    h: float
+    ch: str
+    start: int  # raw offset of the glyph's line
+    end: int
+
+
+@dataclass
+class Line:
+    glyphs: list[Glyph]
+    y_sum: float = 0.0
+
+    @property
+    def y(self) -> float:
+        return self.y_sum / len(self.glyphs)
+
+    @property
+    def x0(self) -> float:
+        return min(g.x for g in self.glyphs)
+
+    @property
+    def x1(self) -> float:
+        return max(g.x + g.w for g in self.glyphs)
+
+
+@dataclass
+class Block:
+    lines: list[Line] = field(default_factory=list)
+    n_words: int = 0
+
+
+def parse_glyphs(payload: str) -> list[Glyph]:
+    glyphs: list[Glyph] = []
+    pos = 0
+    for raw_line in payload.split("\n"):
+        end = pos + len(raw_line)
+        m = _GLYPH_RE.match(raw_line)
+        if m:
+            glyphs.append(
+                Glyph(
+                    float(m.group(1)),
+                    float(m.group(2)),
+                    float(m.group(3)),
+                    float(m.group(4)),
+                    m.group(5),
+                    pos,
+                    end,
+                )
+            )
+        pos = end + 1
+    return glyphs
+
+
+def _median(vals: list[float]) -> float:
+    s = sorted(vals)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def _cluster_lines(glyphs: list[Glyph], h_med: float, w_med: float) -> list[Line]:
+    lines: list[Line] = []
+    for g in sorted(glyphs, key=lambda g: (g.y, g.x, g.start)):
+        if lines and abs(g.y - lines[-1].y) <= PDF_LINE_Y_TOL * h_med:
+            lines[-1].glyphs.append(g)
+            lines[-1].y_sum += g.y
+        else:
+            lines.append(Line([g], g.y))
+    # split each y-line at column gaps (two columns share a y but must not
+    # fuse into one reading-order line)
+    out: list[Line] = []
+    for ln in lines:
+        ln.glyphs.sort(key=lambda g: (g.x, g.start))
+        seg: list[Glyph] = []
+        prev_end = None
+        for g in ln.glyphs:
+            if prev_end is not None and g.x - prev_end > PDF_COL_GAP * w_med:
+                out.append(Line(seg, sum(s.y for s in seg)))
+                seg = []
+            seg.append(g)
+            prev_end = g.x + g.w
+        if seg:
+            out.append(Line(seg, sum(s.y for s in seg)))
+    return out
+
+
+def _line_words(line: Line, w_med: float) -> list[str]:
+    words: list[str] = []
+    cur: list[str] = []
+    prev_end = None
+    for g in line.glyphs:
+        if prev_end is not None and g.x - prev_end > PDF_WORD_GAP * w_med:
+            words.append("".join(cur))
+            cur = []
+        cur.append(g.ch)
+        prev_end = g.x + g.w
+    if cur:
+        words.append("".join(cur))
+    return words
+
+
+def _x_overlap(a: Line, b: Line) -> float:
+    lo = max(a.x0, b.x0)
+    hi = min(a.x1, b.x1)
+    if hi <= lo:
+        return 0.0
+    return (hi - lo) / max(1e-9, min(a.x1 - a.x0, b.x1 - b.x0))
+
+
+def extract_pdf(payload: str) -> tuple[str, list[tuple[int, int]]]:
+    """payload -> (normalized text in reading order, raw-offset spans)."""
+    glyphs = parse_glyphs(payload)
+    if not glyphs:
+        return "", []
+    h_med = _median([g.h for g in glyphs])
+    w_med = _median([g.w for g in glyphs])
+    lines = _cluster_lines(glyphs, h_med, w_med)
+
+    # lines -> blocks (greedy, lines are in y order already)
+    blocks: list[Block] = []
+    for ln in lines:
+        target = None
+        for b in blocks:
+            last = b.lines[-1]
+            if (
+                ln.y - last.y <= PDF_BLOCK_Y_GAP * h_med
+                and _x_overlap(ln, last) >= PDF_BLOCK_X_OVERLAP
+            ):
+                target = b
+                break
+        if target is None:
+            target = Block()
+            blocks.append(target)
+        target.lines.append(ln)
+
+    # words per line; min-size filter per block
+    block_words: list[list[list[str]]] = []
+    kept: list[Block] = []
+    for b in blocks:
+        words = [_line_words(ln, w_med) for ln in b.lines]
+        b.n_words = sum(len(ws) for ws in words)
+        if b.n_words >= MIN_TOKENS:
+            kept.append(b)
+            block_words.append(words)
+    if not kept:
+        return "", []
+
+    # reading order: column-major (left column first), then top-to-bottom
+    page_x0 = min(b.lines[0].x0 for b in kept)
+    page_x1 = max(max(ln.x1 for ln in b.lines) for b in kept)
+    mid = 0.5 * (page_x0 + page_x1)
+    order = sorted(
+        range(len(kept)),
+        key=lambda i: (
+            0 if min(ln.x0 for ln in kept[i].lines) < mid else 1,
+            kept[i].lines[0].y,
+            min(ln.x0 for ln in kept[i].lines),
+        ),
+    )
+
+    pieces = [
+        "\n".join(" ".join(ws) for ws in block_words[i]) for i in order
+    ]
+    extracted = normalize_text("\n".join(pieces))
+    spans = sorted(
+        (
+            min(g.start for ln in b.lines for g in ln.glyphs),
+            max(g.end for ln in b.lines for g in ln.glyphs),
+        )
+        for b in kept
+    )
+    return extracted, spans

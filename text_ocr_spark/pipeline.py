@@ -1,0 +1,239 @@
+"""The Spark shell around the pure kernels — batch extraction pipeline.
+
+Physical plan (SURVEY.md §3.4):
+
+    parquet/Iceberg scan (narrow select: Catalyst prunes columns)
+      -> Exchange: salted repartition on (conv_id, pmod(hash(turn_idx), S))
+         (explicit skew handling, SURVEY.md §2.H — extraction is per-turn
+         independent so salting is safe; AQE alone doesn't split a hot
+         groupBy key that never aggregates)
+      -> ArrowEvalPython: mapInPandas(extract_batch) — kernels over Arrow
+         batches, per-payload numpy, no per-row Python UDFs
+      -> (optional) Exchange+Sort: range partition by (conv_id, turn_idx)
+         for the stable-turn-ordering contract
+
+Scale notes (100 TB / 1000 executors):
+- the only wide dependencies are the two explicit exchanges; everything
+  else is embarrassingly parallel per turn;
+- salting bounds a task's work by turns, not conversations, so a 10^6-turn
+  conversation spreads over SALT_BUCKETS tasks;
+- Arrow batch size is capped via spark.sql.execution.arrow.maxRecordsPerBatch
+  (set in session_builder) so one batch stays tens-of-MB even with ~1 MB
+  payloads;
+- lineage/metrics are per-partition aggregates of the extraction output —
+  no extra pass over the input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from text_ocr_spark.fixtures import build_payload
+from text_ocr_spark.kernels.extract import extract_payload
+from text_ocr_spark.oracle import spans_to_json
+
+#: default number of salt buckets for the hot-conversation shuffle
+SALT_BUCKETS = 16
+
+TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+EXTRACT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, tool string, ts timestamp, "
+    "kind string, extracted string, "
+    "spans array<struct<start:int,end:int>>, spans_json string, "
+    "part_id int, bytes_in long, bytes_out long"
+)
+
+
+def session_builder(
+    master: str = "local[*]", app: str = "text_ocr_spark", **extra: str
+) -> SparkSession.Builder:
+    """Opinionated session config (pyspark_guide-conformant)."""
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in extra.items():
+        b = b.config(k, v)
+    return b
+
+
+# --------------------------------------------------------------------------
+# transcripts source (fixture table derived from `documents`)
+# --------------------------------------------------------------------------
+
+def _gen_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        texts: list[Any] = []
+        tools: list[Any] = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            payload, tool = build_payload(int(doc_id), text or "")
+            texts.append(payload)
+            tools.append(tool)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "text": texts, "tool": tools}
+        )
+
+
+def build_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents parquet -> transcripts DataFrame (input_hint shape).
+
+    Payloads via mapInPandas (pure-function builders, order independent);
+    conv/turn/role/ts metadata via JVM-side expressions on doc_id — kept
+    SQL-expressible so the DuckDB oracle can rebuild it (fixtures.conv_of).
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    payloads = docs.mapInPandas(
+        _gen_payloads, schema="doc_id long, text string, tool string"
+    )
+    d = F.col("doc_id")
+    conv_k = F.floor((d - 100) / 8)
+    turn_idx = F.when(d < 100, d).otherwise((d - 100) % 8).cast("int")
+    conv_ord = F.when(d < 100, F.lit(0)).otherwise(conv_k + 1)
+    return (
+        payloads.withColumn(
+            "conv_id",
+            F.when(d < 100, F.lit("conv-skew")).otherwise(
+                F.concat(F.lit("conv-"), F.lpad(conv_k.cast("string"), 6, "0"))
+            ),
+        )
+        .withColumn("turn_idx", turn_idx)
+        .withColumn(
+            "role",
+            F.element_at(
+                F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+                (F.col("turn_idx") % 3) + 1,
+            ),
+        )
+        .withColumn("conv_ord", conv_ord)
+        .withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(SECOND, turn_idx, timestampadd(HOUR, conv_ord,"
+                " timestamp'2026-01-01 00:00:00'))"
+            ),
+        )
+        .drop("doc_id", "conv_ord")
+        .select(*TRANSCRIPT_COLS)
+    )
+
+
+# --------------------------------------------------------------------------
+# extraction stage
+# --------------------------------------------------------------------------
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    tc = TaskContext.get()
+    pid = tc.partitionId() if tc is not None else -1
+    for pdf in batches:
+        kinds: list[str] = []
+        texts: list[str] = []
+        spans_col: list[list[dict[str, int]]] = []
+        spans_json: list[str] = []
+        bytes_in: list[int] = []
+        bytes_out: list[int] = []
+        for text, tool in zip(pdf["text"], pdf["tool"]):
+            t = None if text is None or (isinstance(text, float) and pd.isna(text)) else text
+            tl = None if tool is None or (isinstance(tool, float) and pd.isna(tool)) else tool
+            kind, extracted, spans = extract_payload(t, tl)
+            kinds.append(kind)
+            texts.append(extracted)
+            spans_col.append([{"start": s, "end": e} for s, e in spans])
+            spans_json.append(spans_to_json(spans))
+            bytes_in.append(len(t.encode("utf-8")) if t else 0)
+            bytes_out.append(len(extracted.encode("utf-8")))
+        yield pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"],
+                "turn_idx": pdf["turn_idx"],
+                "role": pdf["role"],
+                "tool": pdf["tool"],
+                "ts": pdf["ts"],
+                "kind": kinds,
+                "extracted": texts,
+                "spans": spans_col,
+                "spans_json": spans_json,
+                "part_id": pid,
+                "bytes_in": bytes_in,
+                "bytes_out": bytes_out,
+            }
+        )
+
+
+def extract_transcripts(
+    df: DataFrame,
+    *,
+    salt_buckets: int = SALT_BUCKETS,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """transcripts -> extracted rows (one per turn, always).
+
+    Explicit salted repartition on (conv_id, pmod(xxhash64(turn_idx), S))
+    before the Arrow stage defuses long-conversation skew (SURVEY.md §2.H);
+    the Window/sort that restores ordering runs on unsalted keys afterwards.
+    """
+    cols = ["conv_id", "turn_idx", "role", "tool", "ts", "text"]
+    narrow = df.select(*cols)
+    salt = F.pmod(F.xxhash64("turn_idx"), F.lit(salt_buckets))
+    if num_partitions:
+        salted = narrow.repartition(num_partitions, F.col("conv_id"), salt)
+    else:
+        salted = narrow.repartition(F.col("conv_id"), salt)
+    return salted.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
+
+
+def ordered(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Stable turn ordering: range-partition + in-partition sort on
+    (conv_id, turn_idx) — the scale-friendly total order (north_rule).
+    """
+    if num_partitions:
+        rp = df.repartitionByRange(num_partitions, "conv_id", "turn_idx")
+    else:
+        rp = df.repartitionByRange("conv_id", "turn_idx")
+    return rp.sortWithinPartitions("conv_id", "turn_idx")
+
+
+def lineage_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
+    """Per-partition lineage rows (FIXTURES.md §4) from the extraction
+    output — no second pass over the input."""
+    kind_count = [
+        F.sum((F.col("kind") == k).cast("long")).alias(f"n_{k}")
+        for k in ("html", "pdf", "ocr", "plain", "empty")
+    ]
+    return extracted.groupBy("part_id").agg(
+        F.count("*").alias("rows_out"),
+        F.min("conv_id").alias("first_conv"),
+        F.max("conv_id").alias("last_conv"),
+        *kind_count,
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum("bytes_out").alias("bytes_out"),
+    ).withColumn("run_id", F.lit(run_id))
+
+
+def run_extraction(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    salt_buckets: int = SALT_BUCKETS,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Convenience: documents at sf_dir -> ordered extraction output."""
+    t = build_transcripts(spark, sf_dir)
+    return ordered(
+        extract_transcripts(
+            t, salt_buckets=salt_buckets, num_partitions=num_partitions
+        ),
+        num_partitions=num_partitions,
+    )
