@@ -1,0 +1,103 @@
+"""Headline benchmark — prints ONE JSON line.
+
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+
+Queries timed (post-warmup of the Spark session):
+- extract:      the flagship transcript extraction pipeline (turns/sec is
+                the north-star metric; corpus replicated x REPEAT so python
+                work dominates JVM fixed costs)
+- dedup_minhash: MinHash LSH + verified jaccard over documents
+- knn_topk:     brute-force cosine top-k over embeddings
+- q1:           TPC-H Q1 shape over lineitem
+- token_stats:  JVM-only text analysis sweep
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_REPEAT (default
+4), SPARK_GRAFT_PARTITIONS (default 4x cpus).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "4"))
+    partitions = int(os.environ.get("SPARK_GRAFT_PARTITIONS", str(cpus * 4)))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.dedup import minhash_dedup
+    from text_ocr_spark.ops.relational import q1_pricing_summary
+    from text_ocr_spark.ops.similarity import brute_topk
+    from text_ocr_spark.ops.text_stats import token_stats
+    from text_ocr_spark.pipeline import (
+        build_transcripts,
+        extract_transcripts,
+        session_builder,
+    )
+
+    spark = (
+        session_builder(master=f"local[{cpus}]", app="text_ocr_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up JVM + python workers so per-query times measure the queries
+    spark.range(1000).select(F.sum("id")).collect()
+
+    timings: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.time()
+        result = fn()
+        timings[name] = round(time.time() - t0, 3)
+        if isinstance(result, dict):
+            extra.update(result)
+
+    def run_extract():
+        t = build_transcripts(spark, sf_dir, repeat=repeat)
+        out = extract_transcripts(t, num_partitions=partitions)
+        n = out.count()
+        return {"turns": n}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    timed("extract", run_extract)
+    timed("dedup_minhash", lambda: minhash_dedup(docs).count())
+    timed("knn_topk", lambda: brute_topk(emb).count())
+    timed("q1", lambda: q1_pricing_summary(spark, sf_dir).count())
+    timed("token_stats", lambda: token_stats(docs).count())
+
+    total = round(sum(timings.values()), 3)
+    turns_per_sec = round(extra.get("turns", 0) / max(timings["extract"], 1e-9), 1)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "repeat": repeat,
+                "turns": int(extra.get("turns", 0)),
+                "turns_per_sec": turns_per_sec,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -24,6 +24,8 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--run-id", default="adhoc")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--salt", type=int, default=16)
+    ap.add_argument("--repeat", type=int, default=1, help="corpus replication (bench)")
+    ap.add_argument("--skip-write", action="store_true", help="count only (bench)")
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -35,22 +37,31 @@ def main(argv: list[str]) -> int:
         ordered,
     )
 
-    spark = SparkSession.builder.appName("text_ocr_spark.extract").getOrCreate()
+    spark = (
+        SparkSession.builder.appName("text_ocr_spark.extract")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("WARN")
+    # warm up JVM + python workers so measured time is the pipeline's
+    spark.range(1000).count()
     t0 = time.time()
-    transcripts = build_transcripts(spark, args.sf_dir)
+    transcripts = build_transcripts(spark, args.sf_dir, repeat=args.repeat)
     extracted = extract_transcripts(
         transcripts, salt_buckets=args.salt, num_partitions=args.partitions
     )
-    # cache so the metrics aggregation doesn't recompute the extraction
-    extracted.persist()
-    out = ordered(extracted, num_partitions=args.partitions).drop("spans")
-    out.write.mode("overwrite").parquet(f"{args.out}/extracted")
-    lineage_metrics(extracted, run_id=args.run_id).write.mode("overwrite").parquet(
-        f"{args.out}/metrics"
-    )
-    n = extracted.count()
-    extracted.unpersist()
+    if args.skip_write:
+        n = extracted.count()
+    else:
+        # cache so the metrics aggregation doesn't recompute the extraction
+        extracted.persist()
+        out = ordered(extracted, num_partitions=args.partitions).drop("spans")
+        out.write.mode("overwrite").parquet(f"{args.out}/extracted")
+        lineage_metrics(extracted, run_id=args.run_id).write.mode(
+            "overwrite"
+        ).parquet(f"{args.out}/metrics")
+        n = extracted.count()
+        extracted.unpersist()
     dt = time.time() - t0
     print(f'{{"rows": {n}, "secs": {dt:.2f}, "turns_per_sec": {n / dt:.1f}}}')
     spark.stop()

@@ -1,0 +1,87 @@
+"""Light pytest guard over the __spark_entry__ driver contract: entry()
+smoke + a representative subset of oracle cross-checks at sf0.001 (the full
+sweep lives in scripts/check_contract.py at sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_TINY
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+SUBSET = [
+    "transcript_index",
+    "conversation_stats",
+    "q1_pricing_summary",
+    "events_sessionized",
+    "dedup_exact",
+    "dedup_jaccard",
+    "knn_topk",
+    "ivf_assign",
+    "token_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "multimodal_meta",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_TINY}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = df[c].round(9)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() == 500
+    assert [f.name for f in df.schema.fields] == [
+        "conv_id", "turn_idx", "kind", "extracted", "spans_json",
+    ]
+
+
+def test_every_query_has_oracle_or_reason():
+    import __spark_entry__ as e
+
+    qs, os_ = set(e.queries()), set(e.oracle_sql())
+    assert os_ <= qs
+    # rows-only exceptions are exactly the approximate/stub-backed ops
+    assert qs - os_ == {"dedup_simhash", "knn_lsh", "multimodal_features"}
+
+
+@pytest.mark.parametrize("name", SUBSET)
+def test_oracle_subset(spark, duck, name):
+    import __spark_entry__ as e
+
+    got = _canon(e.queries()[name](spark, SF_TINY).toPandas())
+    want = _canon(duck.sql(e.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns)
+    assert len(got) == len(want)
+    neq = (got != want) & ~(got.isna() & want.isna())
+    assert not neq.any().any(), got[neq.any(axis=1)].head()

@@ -1,0 +1,111 @@
+"""Contract tests for the training-data ops (dedup / similarity /
+text-stats / multimodal) — the pytest side of the rows-only oracles."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_TINY}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+
+
+def test_minhash_equals_exact_jaccard(spark, docs):
+    """LSH candidates + verification == the exact jaccard ground truth."""
+    from text_ocr_spark.ops.dedup import jaccard_pairs, minhash_dedup
+
+    exact = {
+        (r.doc_a, r.doc_b) for r in jaccard_pairs(docs, 0.95).collect()
+    }
+    mh = {(r.doc_a, r.doc_b) for r in minhash_dedup(docs, 0.95).collect()}
+    assert mh == exact
+    assert len(exact) > 0  # the corpus actually contains near-dups
+
+
+def test_minhash_signature_determinism():
+    from text_ocr_spark.ops.dedup import _minhash_signature
+
+    a = _minhash_signature("the quick brown fox".split())
+    b = _minhash_signature("fox brown quick the".split())  # order-free
+    assert (a == b).all()
+    c = _minhash_signature("the quick brown cat".split())
+    assert (a != c).any()
+
+
+def test_simhash_pairs_are_near_dups(spark, docs):
+    """Every hamming<=3 pair must share a high token-set jaccard — simhash
+    is a near-dup detector, not a random pairer."""
+    from text_ocr_spark.ops.dedup import jaccard_pairs, simhash_pairs
+
+    sh = simhash_pairs(docs).collect()
+    assert len(sh) > 0
+    loose = {
+        (r.doc_a, r.doc_b) for r in jaccard_pairs(docs, 0.80).collect()
+    }
+    hits = sum(1 for r in sh if (r.doc_a, r.doc_b) in loose)
+    assert hits / len(sh) >= 0.9
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    from text_ocr_spark.ops.dedup import exact_dedup
+
+    out = exact_dedup(docs).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert r.keep_id <= r.doc_id
+        assert r.is_dup == (1 if r.doc_id != r.keep_id else 0)
+
+
+def test_lsh_recall_vs_brute(spark, emb):
+    """Bucketed ANN must agree with brute force on a solid share of the
+    (query, neighbor) hits it returns, and return only true bucket-mates."""
+    from text_ocr_spark.ops.similarity import brute_topk, lsh_topk
+
+    brute = {(r.query_id, r.neighbor_id) for r in brute_topk(emb).collect()}
+    approx = [(r.query_id, r.neighbor_id) for r in lsh_topk(emb).collect()]
+    assert len(approx) > 0
+    hits = sum(1 for p in approx if p in brute)
+    # 8 hyperplanes over 64-dim random vectors: expect meaningful overlap
+    assert hits >= max(1, len(approx) // 4)
+
+
+def test_ivf_assign_total(spark, emb):
+    from text_ocr_spark.ops.similarity import ivf_assign
+
+    out = ivf_assign(emb).collect()
+    assert len(out) == emb.count()
+    # centroids assign to themselves (cos(v,v)=1 is the max)
+    self_assign = {r.vec_id: r.centroid_id for r in out if r.vec_id < 8}
+    assert self_assign == {i: i for i in range(8)}
+
+
+def test_multimodal_features_deterministic(spark, docs):
+    from text_ocr_spark.ops.multimodal import media_features
+
+    a = media_features(docs).orderBy("doc_id").collect()
+    b = media_features(docs.repartition(7)).orderBy("doc_id").collect()
+    assert a == b
+    assert all(64 <= r.width < 256 and r.feat_dim == 16 for r in a)
+
+
+def test_decode_image_is_stubbed():
+    from text_ocr_spark.ops.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+def test_quality_score_bounds(spark, docs):
+    from text_ocr_spark.ops.text_stats import quality_score
+
+    out = quality_score(docs).collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in out)
+    assert {r.bucket for r in out} <= {"high", "medium", "low"}

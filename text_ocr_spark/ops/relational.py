@@ -1,0 +1,159 @@
+"""Relational operator coverage over the driver's TPC-H-ish tables
+(SURVEY.md §2.G checklist: scan, filter, projection, aggregation, join,
+window, sort/limit/top-k, set ops, scalar/string/date/json functions).
+
+Determinism rules for the DuckDB cross-check:
+- money/value sums computed in DECIMAL(18,4) (associative, engine-order
+  independent), cast to DOUBLE only at the end;
+- timestamps never surface raw: epoch seconds / epoch-hour buckets only
+  (session-timezone-proof);
+- every top-k has a total tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter -> groupBy 2 cols -> 8 aggs -> order."""
+    li = _t(spark, sf_dir, "lineitem")
+    # tight scales keep every product exact in BOTH engines:
+    # (12,2) x (6,4) -> (18,6); x (6,4) -> (24,10) — no precision loss,
+    # so sums are associative and engine-order independent
+    money = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    frac = lambda c: F.col(c).cast("decimal(6,4)")  # noqa: E731
+    one = F.lit(1).cast("decimal(6,4)")
+    disc = money("l_extendedprice") * (one - frac("l_discount"))
+    # epoch compare, not a timestamp literal: session-TZ-proof
+    # (904694400 = 1998-09-02T00:00:00Z)
+    return (
+        li.filter(F.unix_timestamp("l_shipdate") <= F.lit(904694400))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            # final round(4): decimal->double conversion differs in the
+            # last ulp between engines (BigDecimal vs int128*1e-10)
+            F.round(F.sum(money("l_quantity")).cast("double"), 4).alias("sum_qty"),
+            F.round(F.sum(money("l_extendedprice")).cast("double"), 4).alias(
+                "sum_base_price"
+            ),
+            F.round(F.sum(disc).cast("double"), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(disc * (one + frac("l_tax"))).cast("double"), 4
+            ).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def top_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join orders x customer, top 10 by revenue (tie: custkey)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"),
+                4,
+            ).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    return (
+        rev.join(F.broadcast(cust), rev.o_custkey == cust.c_custkey)
+        .select("c_custkey", "c_name", "revenue", "n_orders")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+def customer_order_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window top-3 orders per customer by totalprice (tie: orderkey)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            "rnk",
+        )
+    )
+
+
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: lag + 30-min-gap cumsum -> sessions per user."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts_epoch", F.unix_timestamp("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_epoch", "event_id")
+    gap = F.when(
+        F.col("ts_epoch") - F.lag("ts_epoch").over(w) > 1800, 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_id", F.sum(gap).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long")
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            (F.max("session_id") + 1).alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-hour bucket aggregation (timezone-proof date_trunc analog)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "hour_bucket", F.floor(F.unix_timestamp("ts") / 3600).cast("long")
+        )
+        .groupBy("hour_bucket", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+    )
+
+
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction + aggregation (string/json function family)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def order_status_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op: customers with open orders EXCEPT those with filled orders."""
+    orders = _t(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    filled_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    # subtract == SQL EXCEPT (distinct set semantics), matching DuckDB
+    return open_c.subtract(filled_c).orderBy("o_custkey")

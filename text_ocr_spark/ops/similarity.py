@@ -1,0 +1,176 @@
+"""Similarity search over the ``embeddings`` table (array<float> column).
+
+- brute_topk:  exact cosine top-k, fully JVM-side (zip_with + aggregate
+               higher-order functions — no Python in the hot path). The
+               correctness baseline; O(Q x N).
+- ivf_assign:  IVF building block — assign every vector to its nearest
+               centroid (broadcast centroids, argmax cosine). At scale the
+               search probes only matching cells.
+- lsh_topk:    sign-random-projection LSH — deterministic hyperplanes,
+               bucket join, top-k within bucket. The approximate scale
+               path; recall vs brute_topk is pytest-asserted.
+
+Cosines are computed in float64 from the float32 inputs, summed in array
+order (F.aggregate is a sequential fold), matching the DuckDB oracle's
+list_cosine_similarity to the ulp.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: multi-table sign-random-projection LSH: L tables x K hyperplanes.
+#: Recall for a neighbor at angle theta: 1 - (1 - (1 - theta/pi)^K)^L —
+#: K=4, L=8 gives ~0.7 at cos ~0.35 (this corpus' top-neighbor regime)
+#: while probing ~40% of the corpus; tune K up / L down for tighter
+#: clusters at real scale.
+LSH_TABLES = 8
+LSH_PLANES = 4
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(col: str) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.col(col),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+
+
+def cosine_col(a: str, b: str) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_topk(
+    emb: DataFrame, *, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    """Top-k cosine neighbors of vec_id < n_queries among vec_id >= n_queries.
+
+    -> (query_id, rank, neighbor_id). Ties broken by neighbor_id asc.
+    """
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).withColumn("cos", cosine_col("qv", "cv"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def ivf_assign(emb: DataFrame, *, n_centroids: int = 8) -> DataFrame:
+    """Assign each vector to its max-cosine centroid (vec_id < n_centroids).
+
+    -> (vec_id, centroid_id). Ties broken by centroid_id asc.
+    """
+    cent = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    scored = emb.select("vec_id", "embedding").crossJoin(
+        F.broadcast(cent)
+    ).withColumn("cos", cosine_col("embedding", "cv"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# sign-random-projection LSH
+# --------------------------------------------------------------------------
+
+def _hyperplanes(dim: int, n: int) -> np.ndarray:
+    """Deterministic +-1 hyperplanes from blake2b bits (no RNG state)."""
+    planes = np.empty((n, dim), dtype=np.float64)
+    for i in range(n):
+        d = hashlib.blake2b(f"plane:{i}".encode(), digest_size=dim // 8 + 1).digest()
+        bits = np.unpackbits(np.frombuffer(d, dtype=np.uint8))[:dim]
+        planes[i] = np.where(bits == 1, 1.0, -1.0)
+    return planes
+
+
+def _bucket_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One (vec_id, table, bucket) row per LSH table per vector."""
+    planes: np.ndarray | None = None
+    for pdf in batches:
+        vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        if planes is None:
+            planes = _hyperplanes(vecs.shape[1], LSH_TABLES * LSH_PLANES)
+        signs = (vecs @ planes.T) > 0  # (n, L*K)
+        out = []
+        for t in range(LSH_TABLES):
+            seg = signs[:, t * LSH_PLANES : (t + 1) * LSH_PLANES]
+            bucket = (seg.astype(np.int64) << np.arange(LSH_PLANES)).sum(axis=1)
+            out.append(
+                pd.DataFrame(
+                    {"vec_id": pdf["vec_id"], "table": t, "bucket": bucket}
+                )
+            )
+        yield pd.concat(out, ignore_index=True)
+
+
+def lsh_buckets(emb: DataFrame) -> DataFrame:
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _bucket_rows, schema="vec_id long, table int, bucket long"
+    )
+
+
+def lsh_topk(emb: DataFrame, *, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Approximate top-k: candidates share an LSH bucket with the query in
+    >= 1 of the LSH_TABLES tables (multi-table OR-amplification).
+
+    -> (query_id, rank, neighbor_id). A query whose buckets hold < k
+    candidates returns fewer rows (documented approximation, no silent
+    fallback scan).
+    """
+    b = lsh_buckets(emb)
+    q = b.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "table", "bucket"
+    )
+    c = b.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), "table", "bucket"
+    )
+    cand = c.join(F.broadcast(q), ["table", "bucket"]).select(
+        "query_id", "neighbor_id"
+    ).distinct()
+    qv = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cv = emb.filter(F.col("vec_id") >= n_queries).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cos", cosine_col("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

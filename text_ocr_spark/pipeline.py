@@ -87,14 +87,28 @@ def _gen_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def build_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def build_transcripts(
+    spark: SparkSession, sf_dir: str, *, repeat: int = 1
+) -> DataFrame:
     """documents parquet -> transcripts DataFrame (input_hint shape).
 
     Payloads via mapInPandas (pure-function builders, order independent);
     conv/turn/role/ts metadata via JVM-side expressions on doc_id — kept
     SQL-expressible so the DuckDB oracle can rebuild it (fixtures.conv_of).
+
+    repeat > 1 replicates the corpus with offset doc_ids (bench scaling
+    only — payloads stay deterministic per synthetic doc_id).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    if repeat > 1:
+        base = docs
+        for r in range(1, repeat):
+            docs = docs.unionByName(
+                base.select(
+                    (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
+                    "text",
+                )
+            )
     payloads = docs.mapInPandas(
         _gen_payloads, schema="doc_id long, text string, tool string"
     )
@@ -118,11 +132,12 @@ def build_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn("conv_ord", conv_ord)
+        # epoch arithmetic, not timestamp literals: session-TZ-proof
+        # (1767225600 = 2026-01-01T00:00:00Z, fixtures.EPOCH)
         .withColumn(
             "ts",
-            F.expr(
-                "timestampadd(SECOND, turn_idx, timestampadd(HOUR, conv_ord,"
-                " timestamp'2026-01-01 00:00:00'))"
+            F.timestamp_seconds(
+                F.lit(1767225600) + F.col("conv_ord") * 3600 + F.col("turn_idx")
             ),
         )
         .drop("doc_id", "conv_ord")
@@ -220,6 +235,71 @@ def lineage_metrics(extracted: DataFrame, run_id: str) -> DataFrame:
         F.sum("bytes_in").alias("bytes_in"),
         F.sum("bytes_out").alias("bytes_out"),
     ).withColumn("run_id", F.lit(run_id))
+
+
+def transcript_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-JVM transcript metadata + ordering windows (no Python UDF).
+
+    The SQL-expressible face of the fixture derivation (fixtures.conv_of):
+    turn_rank / prev_role demonstrate the stable-turn-ordering Window the
+    north_rule mandates, cross-checkable in DuckDB.
+    """
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    d = F.col("doc_id")
+    conv_k = F.floor((d - 100) / 8)
+    base = (
+        docs.withColumn(
+            "conv_id",
+            F.when(d < 100, F.lit("conv-skew")).otherwise(
+                F.concat(F.lit("conv-"), F.lpad(conv_k.cast("string"), 6, "0"))
+            ),
+        )
+        .withColumn(
+            "turn_idx", F.when(d < 100, d).otherwise((d - 100) % 8).cast("int")
+        )
+        .withColumn(
+            "role",
+            F.element_at(
+                F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+                (F.col("turn_idx") % 3) + 1,
+            ),
+        )
+        .withColumn(
+            "ts_epoch",
+            (
+                F.lit(1767225600)
+                + F.when(d < 100, F.lit(0)).otherwise(conv_k + 1) * 3600
+                + F.col("turn_idx")
+            ).cast("long"),
+        )
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return base.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "ts_epoch",
+        F.row_number().over(w).cast("long").alias("turn_rank"),
+        F.lag("role").over(w).alias("prev_role"),
+    )
+
+
+def conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation aggregates over the transcript index."""
+    idx = transcript_index(spark, sf_dir)
+    return (
+        idx.groupBy("conv_id")
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.countDistinct("role").cast("long").alias("n_roles"),
+            F.min("ts_epoch").alias("first_epoch"),
+            F.max("ts_epoch").alias("last_epoch"),
+            (F.max("ts_epoch") - F.min("ts_epoch")).alias("span_secs"),
+        )
+        .orderBy("conv_id")
+    )
 
 
 def run_extraction(
