@@ -133,11 +133,15 @@ def build_transcripts(
         )
         .withColumn("conv_ord", conv_ord)
         # epoch arithmetic, not timestamp literals: session-TZ-proof
-        # (1767225600 = 2026-01-01T00:00:00Z, fixtures.EPOCH)
+        # (1767225600 = 2026-01-01T00:00:00Z, fixtures.EPOCH). conv_ord is
+        # bounded mod 1e6 so bench `repeat` replicas (doc_id + r*10^7) stay
+        # inside pandas' timestamp[ns] range; identity for any real sf dir.
         .withColumn(
             "ts",
             F.timestamp_seconds(
-                F.lit(1767225600) + F.col("conv_ord") * 3600 + F.col("turn_idx")
+                F.lit(1767225600)
+                + (F.col("conv_ord") % 1_000_000) * 3600
+                + F.col("turn_idx")
             ),
         )
         .drop("doc_id", "conv_ord")
@@ -270,7 +274,8 @@ def transcript_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ts_epoch",
             (
                 F.lit(1767225600)
-                + F.when(d < 100, F.lit(0)).otherwise(conv_k + 1) * 3600
+                + (F.when(d < 100, F.lit(0)).otherwise(conv_k + 1) % 1_000_000)
+                * 3600
                 + F.col("turn_idx")
             ).cast("long"),
         )
