@@ -19,14 +19,28 @@ def emb(spark):
 
 
 def test_minhash_equals_exact_jaccard(spark, docs):
-    """LSH candidates + verification == the exact jaccard ground truth."""
+    """Both physical strategies == the exact jaccard ground truth.
+
+    minhash_dedup picks its strategy from a vocab probe; force each path
+    explicitly so the dense bitset kernel AND the LSH band+verify pipeline
+    are both pinned to the inverted-index exact result (values included).
+    """
     from text_ocr_spark.ops.dedup import jaccard_pairs, minhash_dedup
 
     exact = {
-        (r.doc_a, r.doc_b) for r in jaccard_pairs(docs, 0.95).collect()
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs(docs, 0.95).collect()
     }
-    mh = {(r.doc_a, r.doc_b) for r in minhash_dedup(docs, 0.95).collect()}
-    assert mh == exact
+    dense = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_dedup(docs, 0.95, dense_vocab_limit=4096).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_dedup(docs, 0.95, dense_vocab_limit=0).collect()
+    }
+    assert dense == exact
+    assert lsh == exact
     assert len(exact) > 0  # the corpus actually contains near-dups
 
 

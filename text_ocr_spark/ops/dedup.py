@@ -6,11 +6,27 @@ Four strategies, scale-ordered:
 - jaccard:  exact token-set jaccard via an inverted-index self-join —
             the oracle-grade ground truth; quadratic in the worst case,
             bounded by blocking on shared tokens.
-- minhash:  MinHash signatures (numpy over Arrow batches) -> LSH band
-            bucket join -> exact-jaccard verification of candidates.
-            At 100 TB this is THE dedup path: candidate generation is
-            linear in docs x bands, and the verify join touches only
-            same-bucket pairs.
+- minhash:  adaptive physical strategy for one logical op (the
+            broadcast-vs-sortmerge analog), picked by a one-pass
+            approx_count_distinct vocabulary probe:
+            * big vocab (real text): MinHash signatures (numpy over
+              Arrow batches) -> LSH band bucket join -> exact-jaccard
+              verification of candidates. Candidate generation is linear
+              in docs x bands and the verify join touches only
+              same-bucket pairs — THE 100 TB path when baseline
+              pairwise jaccard is low.
+            * small vocab (<= DENSE_VOCAB_LIMIT distinct tokens, e.g.
+              categorical/shingle-coded corpora): LSH banding cannot
+              discriminate — when most pairs share most tokens nearly
+              every pair lands in a shared bucket and the verify join
+              goes quadratic in shuffled bytes. Instead each doc's token
+              set packs into a broadcast-vocab bitmask and tiles of doc
+              blocks are exactly verified by a BLAS bit-matrix product
+              (popcount of AND) inside mapInPandas. Tiles distribute:
+              B blocks -> B(B+1)/2 independent tasks, each a dense
+              numpy kernel, no wide shuffle of token arrays at all.
+            Both strategies return the identical exact result
+            (pytest-asserted against the inverted-index ground truth).
 - simhash:  64-bit SimHash + banded hamming join (radius <= 3).
 
 Determinism: all hash seeds are fixed constants; MinHash permutations are
@@ -33,6 +49,11 @@ NUM_PERM = 128
 BANDS = 32  # rows per band = NUM_PERM // BANDS = 4
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4  # 16 bits each; radius<=3 guarantees >=1 clean band
+#: vocab size below which the dense bitset strategy wins; 4096 bits =
+#: 512 B/doc mask, broadcast vocab ~100 KB — trivially clusterable.
+DENSE_VOCAB_LIMIT = 4096
+#: docs per dense tile side: 2048^2 pairs/task, ~1 MB of masks per block.
+DENSE_BLOCK = 2048
 
 
 def tokens_col(text_col: str = "text") -> F.Column:
@@ -165,13 +186,122 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_dedup(docs: DataFrame, threshold: float = 0.95) -> DataFrame:
-    """LSH candidates -> exact token-set jaccard verification (JVM-side).
+# --------------------------------------------------------------------------
+# dense bitset strategy (small-vocab corpora)
+# --------------------------------------------------------------------------
 
-    With 128 perms / 32 bands of 4 rows, recall at j >= 0.95 is
-    1 - (1 - j^4)^32 ~= 1 - 4e-24: the verified output equals the exact
-    jaccard_pairs result (pytest-asserted on the fixture corpus).
+def _dense_jaccard_pairs(
+    docs: DataFrame, threshold: float, vocab: list[str]
+) -> DataFrame:
+    """Exact all-pairs jaccard via packed-bitset popcount tiles.
+
+    Each doc's distinct-token set becomes a |vocab|-bit mask (vocab is a
+    driver-collected, sorted list — deterministic bit assignment). Docs
+    hash into B blocks; every unordered block pair is one tile task that
+    computes |A & B| for its doc-cross-product as a single float32 BLAS
+    matmul of unpacked bit matrices (counts <= 4096 are exact in f32).
+    No token arrays ever shuffle; tile inputs are ~1 MB of packed masks.
     """
+    vid = {w: i for i, w in enumerate(vocab)}
+    words = (len(vocab) + 63) // 64
+    nbytes = words * 8
+
+    n_docs = docs.count()
+    n_blocks = max(1, -(-n_docs // DENSE_BLOCK))
+
+    tok = docs.select("doc_id", tokens_col().alias("toks"))
+
+    def to_masks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            masks: list[bytes] = []
+            cards: list[int] = []
+            for doc_id, toks in zip(pdf["doc_id"], pdf["toks"]):
+                if toks is None:
+                    continue
+                bits = np.zeros(nbytes * 8, dtype=np.uint8)
+                for t in toks:
+                    bits[vid[t]] = 1
+                card = int(bits.sum())
+                if card == 0:
+                    continue
+                ids.append(int(doc_id))
+                masks.append(np.packbits(bits).tobytes())
+                cards.append(card)
+            yield pd.DataFrame({"doc_id": ids, "mask": masks, "card": cards})
+
+    masked = tok.mapInPandas(
+        to_masks, schema="doc_id long, mask binary, card int"
+    ).withColumn("block", F.pmod(F.xxhash64("doc_id"), F.lit(n_blocks)))
+    blocks = masked.groupBy("block").agg(
+        F.collect_list(F.struct("doc_id", "mask", "card")).alias("docs")
+    )
+    tiles = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), F.col("a.block") <= F.col("b.block"))
+        .select(
+            F.col("a.docs").alias("docs_a"), F.col("b.docs").alias("docs_b")
+        )
+        .repartition(n_blocks * (n_blocks + 1) // 2)
+    )
+
+    def unpack(rows: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+        cards = np.array([r["card"] for r in rows], dtype=np.int64)
+        raw = np.frombuffer(
+            b"".join(bytes(r["mask"]) for r in rows), dtype=np.uint8
+        ).reshape(len(rows), nbytes)
+        return ids, cards, np.unpackbits(raw, axis=1).astype(np.float32)
+
+    def tile_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for docs_a, docs_b in zip(pdf["docs_a"], pdf["docs_b"]):
+                ids_a, card_a, bits_a = unpack(list(docs_a))
+                ids_b, card_b, bits_b = unpack(list(docs_b))
+                inter = (bits_a @ bits_b.T).astype(np.int64)
+                union = card_a[:, None] + card_b[None, :] - inter
+                # identical double math to the DuckDB oracle:
+                # CAST(n_inter AS DOUBLE) / (card_a + card_b - n_inter)
+                jac = inter.astype(np.float64) / union
+                keep = (jac >= threshold) & (ids_a[:, None] < ids_b[None, :])
+                ai, bi = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "doc_a": ids_a[ai],
+                        "doc_b": ids_b[bi],
+                        "jaccard": jac[ai, bi],
+                    }
+                )
+
+    return tiles.mapInPandas(
+        tile_pairs, schema="doc_a long, doc_b long, jaccard double"
+    ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    threshold: float = 0.95,
+    dense_vocab_limit: int = DENSE_VOCAB_LIMIT,
+) -> DataFrame:
+    """Near-dup pairs at jaccard >= threshold; adaptive physical strategy.
+
+    A one-pass approx_count_distinct probe over tokens routes between the
+    dense bitset kernel (small vocab — LSH buckets would degenerate) and
+    LSH banding + exact verification (big vocab). Both are exact at the
+    output: with 128 perms / 32 bands of 4 rows, LSH recall at j >= 0.95
+    is 1 - (1 - j^4)^32 ~= 1 - 4e-24, and the dense path is exhaustive,
+    so either way the result equals jaccard_pairs (pytest-asserted).
+    """
+    if dense_vocab_limit > 0:
+        tok = docs.select(F.explode(tokens_col()).alias("w"))
+        approx = tok.agg(F.approx_count_distinct("w").alias("n")).first()["n"]
+        if approx <= dense_vocab_limit:
+            # limit bounds driver memory even if the probe underestimated
+            rows = tok.distinct().limit(dense_vocab_limit + 1).collect()
+            if len(rows) <= dense_vocab_limit:
+                return _dense_jaccard_pairs(
+                    docs, threshold, sorted(r.w for r in rows)
+                )
     cand = minhash_candidates(docs)
     toks = docs.select("doc_id", tokens_col().alias("toks"))
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
