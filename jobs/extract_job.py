@@ -55,7 +55,7 @@ def main(argv: list[str]) -> int:
     else:
         # cache so the metrics aggregation doesn't recompute the extraction
         extracted.persist()
-        out = ordered(extracted, num_partitions=args.partitions).drop("spans")
+        out = ordered(extracted, num_partitions=args.partitions)
         out.write.mode("overwrite").parquet(f"{args.out}/extracted")
         lineage_metrics(extracted, run_id=args.run_id).write.mode(
             "overwrite"

@@ -45,10 +45,22 @@ TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 EXTRACT_SCHEMA = (
     "conv_id string, turn_idx int, role string, tool string, ts timestamp, "
-    "kind string, extracted string, "
-    "spans array<struct<start:int,end:int>>, spans_json string, "
+    "kind string, extracted string, spans_json string, "
     "part_id int, bytes_in long, bytes_out long"
 )
+
+#: typed face of spans_json; parsed JVM-side on demand (with_span_structs)
+SPANS_TYPE = "array<struct<start:int,end:int>>"
+
+
+def with_span_structs(df: DataFrame) -> DataFrame:
+    """Add the typed ``spans array<struct<start,end>>`` column.
+
+    The Python stage emits compact JSON (cheap through Arrow); Catalyst's
+    from_json materializes the struct column only for consumers that want
+    it — building struct rows in Python cost more than the extraction.
+    """
+    return df.withColumn("spans", F.from_json("spans_json", SPANS_TYPE))
 
 
 def session_builder(
@@ -109,6 +121,9 @@ def build_transcripts(
                     "text",
                 )
             )
+    # a small parquet arrives as 1-2 splits; spread the Python payload
+    # builders over the cluster (cheap shuffle: raw doc text only)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     payloads = docs.mapInPandas(
         _gen_payloads, schema="doc_id long, text string, tool string"
     )
@@ -159,7 +174,6 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         kinds: list[str] = []
         texts: list[str] = []
-        spans_col: list[list[dict[str, int]]] = []
         spans_json: list[str] = []
         bytes_in: list[int] = []
         bytes_out: list[int] = []
@@ -169,7 +183,6 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             kind, extracted, spans = extract_payload(t, tl)
             kinds.append(kind)
             texts.append(extracted)
-            spans_col.append([{"start": s, "end": e} for s, e in spans])
             spans_json.append(spans_to_json(spans))
             bytes_in.append(len(t.encode("utf-8")) if t else 0)
             bytes_out.append(len(extracted.encode("utf-8")))
@@ -182,7 +195,6 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "ts": pdf["ts"],
                 "kind": kinds,
                 "extracted": texts,
-                "spans": spans_col,
                 "spans_json": spans_json,
                 "part_id": pid,
                 "bytes_in": bytes_in,
