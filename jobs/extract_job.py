@@ -43,8 +43,21 @@ def main(argv: list[str]) -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
-    # warm up JVM + python workers so measured time is the pipeline's
-    spark.range(1000).count()
+    # warm up the JVM and every core's Python worker (numpy/pandas/kernel
+    # imports) so measured time is the pipeline's steady-state, at either
+    # parallelism level of the scaling protocol
+    import pandas as _pd
+
+    def _noop(batches):
+        import text_ocr_spark.kernels.extract  # noqa: F401
+
+        for b in batches:
+            yield _pd.DataFrame({"id": b["id"]})
+
+    n_cores = spark.sparkContext.defaultParallelism
+    spark.range(n_cores * 4).repartition(n_cores * 4).mapInPandas(
+        _noop, schema="id long"
+    ).count()
     t0 = time.time()
     transcripts = build_transcripts(spark, args.sf_dir, repeat=args.repeat)
     extracted = extract_transcripts(

@@ -78,6 +78,27 @@ def test_exact_dedup_keeps_min_id(spark, docs):
         assert r.is_dup == (1 if r.doc_id != r.keep_id else 0)
 
 
+def test_embed_pairs_exact(spark, emb):
+    """Blocked-GEMM cosine near-dup == driver-side numpy brute force."""
+    import numpy as np
+
+    from text_ocr_spark.ops.dedup import embed_pairs
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    norm = np.sqrt((mat * mat).sum(axis=1))
+    cos = (mat @ mat.T) / (norm[:, None] * norm[None, :])
+    expect = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and cos[i, j] >= 0.35:
+                expect.add((int(ids[i]), int(ids[j]), round(cos[i, j], 6)))
+    got = {(r.vec_a, r.vec_b, r.cos) for r in embed_pairs(emb).collect()}
+    assert got == expect
+    assert len(got) > 0
+
+
 def test_lsh_recall_vs_brute(spark, emb):
     """Bucketed ANN must agree with brute force on a solid share of the
     (query, neighbor) hits it returns, and return only true bucket-mates."""

@@ -320,6 +320,69 @@ def minhash_dedup(
 
 
 # --------------------------------------------------------------------------
+# embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+#: default calibrated to the synthetic embeddings corpus (near-random
+#: 64-dim vectors, max pairwise cos ~0.51); real near-dup embedding
+#: corpora run this at 0.9+.
+EMBED_THRESHOLD = 0.35
+
+
+def embed_pairs(emb: DataFrame, threshold: float = EMBED_THRESHOLD) -> DataFrame:
+    """Near-dup pairs by embedding cosine: (vec_a, vec_b, round(cos, 6)).
+
+    Exact all-pairs via distributed blocked GEMM: vectors hash into B
+    blocks, each unordered block pair is one tile task computing the
+    cosine matrix with one float64 matmul. O(n^2 d) work split into
+    B(B+1)/2 independent tasks with ~block-sized inputs — the same tile
+    scheme as the dense dedup kernel, no wide shuffle. At real scale the
+    lsh_buckets prefilter (similarity.py) bounds tiles to candidate
+    blocks; kept exhaustive here because the oracle is exhaustive.
+    """
+    n_vecs = emb.count()
+    n_blocks = max(1, -(-n_vecs // DENSE_BLOCK))
+    blocks = (
+        emb.select("vec_id", "embedding")
+        .withColumn("block", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)))
+        .groupBy("block")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
+    )
+    tiles = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), F.col("a.block") <= F.col("b.block"))
+        .select(F.col("a.vecs").alias("vecs_a"), F.col("b.vecs").alias("vecs_b"))
+        .repartition(n_blocks * (n_blocks + 1) // 2)
+    )
+
+    def unpack(rows: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        return ids, mat, np.sqrt((mat * mat).sum(axis=1))
+
+    def tile_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for vecs_a, vecs_b in zip(pdf["vecs_a"], pdf["vecs_b"]):
+                ids_a, mat_a, norm_a = unpack(list(vecs_a))
+                ids_b, mat_b, norm_b = unpack(list(vecs_b))
+                # dot / (|a| * |b|) — the oracle's expression shape
+                cos = (mat_a @ mat_b.T) / (norm_a[:, None] * norm_b[None, :])
+                keep = (cos >= threshold) & (ids_a[:, None] < ids_b[None, :])
+                ai, bi = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "vec_a": ids_a[ai],
+                        "vec_b": ids_b[bi],
+                        "cos": cos[ai, bi],
+                    }
+                )
+
+    return tiles.mapInPandas(
+        tile_pairs, schema="vec_a long, vec_b long, cos double"
+    ).select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 
