@@ -36,11 +36,7 @@ def main() -> int:
     from text_ocr_spark.ops.relational import q1_pricing_summary
     from text_ocr_spark.ops.similarity import brute_topk
     from text_ocr_spark.ops.text_stats import token_stats
-    from text_ocr_spark.pipeline import (
-        build_transcripts,
-        extract_transcripts,
-        session_builder,
-    )
+    from text_ocr_spark.pipeline import extract_corpus, session_builder
 
     spark = (
         session_builder(master=f"local[{cpus}]", app="text_ocr_spark-bench")
@@ -76,8 +72,7 @@ def main() -> int:
             extra.update(result)
 
     def run_extract():
-        t = build_transcripts(spark, sf_dir, repeat=repeat)
-        out = extract_transcripts(t, num_partitions=partitions)
+        out = extract_corpus(spark, sf_dir, repeat=repeat, num_partitions=partitions)
         n = out.count()
         return {"turns": n}
 

@@ -31,8 +31,7 @@ def main(argv: list[str]) -> int:
     from pyspark.sql import SparkSession
 
     from text_ocr_spark.pipeline import (
-        build_transcripts,
-        extract_transcripts,
+        extract_corpus,
         lineage_metrics,
         ordered,
     )
@@ -58,10 +57,18 @@ def main(argv: list[str]) -> int:
     spark.range(n_cores * 4).repartition(n_cores * 4).mapInPandas(
         _noop, schema="id long"
     ).count()
+    if args.partitions is None:
+        # 4x cores balances task granularity against per-task Arrow
+        # overhead; Spark's 200-partition default churns workers at
+        # small inputs
+        args.partitions = n_cores * 4
     t0 = time.time()
-    transcripts = build_transcripts(spark, args.sf_dir, repeat=args.repeat)
-    extracted = extract_transcripts(
-        transcripts, salt_buckets=args.salt, num_partitions=args.partitions
+    extracted = extract_corpus(
+        spark,
+        args.sf_dir,
+        repeat=args.repeat,
+        salt_buckets=args.salt,
+        num_partitions=args.partitions,
     )
     if args.skip_write:
         n = extracted.count()

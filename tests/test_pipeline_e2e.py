@@ -98,3 +98,42 @@ def test_transcript_shape(spark):
 
     counts = t.groupBy("conv_id").count().orderBy(F.desc("count")).take(1)
     assert counts[0]["conv_id"] == "conv-skew" and counts[0]["count"] == 100
+
+
+def test_fused_equals_unfused(spark):
+    """extract_corpus (one-exchange fused path) == build_transcripts |>
+    extract_transcripts, column for column."""
+    from text_ocr_spark.pipeline import (
+        build_transcripts,
+        extract_corpus,
+        extract_transcripts,
+    )
+
+    cols = ["conv_id", "turn_idx", "role", "tool", "kind", "extracted",
+            "spans_json", "bytes_in", "bytes_out"]
+    unfused = (
+        extract_transcripts(build_transcripts(spark, SF_TINY), num_partitions=6)
+        .select(*cols).orderBy("conv_id", "turn_idx").collect()
+    )
+    fused = (
+        extract_corpus(spark, SF_TINY, num_partitions=6)
+        .select(*cols).orderBy("conv_id", "turn_idx").collect()
+    )
+    assert fused == unfused
+
+
+def test_repeat_replication(spark):
+    """repeat=k replicates every turn k times with distinct conv_ids."""
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.pipeline import build_transcripts
+
+    t1 = build_transcripts(spark, SF_TINY)
+    t3 = build_transcripts(spark, SF_TINY, repeat=3)
+    assert t3.count() == 3 * t1.count()
+    assert t3.select("conv_id", "turn_idx").distinct().count() == t3.count()
+    # builders key on the offset doc_id, so replicas differ from the
+    # original corpus but the whole construction is deterministic
+    assert t3.filter(F.col("text").isNotNull()).count() == build_transcripts(
+        spark, SF_TINY, repeat=3
+    ).filter(F.col("text").isNotNull()).count()

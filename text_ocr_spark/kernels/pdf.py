@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from typing import NamedTuple
 
 from text_ocr_spark.kernels.constants import (
     MIN_TOKENS,
@@ -35,14 +36,17 @@ from text_ocr_spark.kernels.constants import (
 )
 from text_ocr_spark.kernels.normalize import normalize_text
 
+# MULTILINE: one C-level scan of the payload; m.start()/m.end() are the
+# raw line offsets (ident. to per-line matching: $ stops before each \n,
+# and a \r or any junk on the line makes the whole line a non-glyph)
 _GLYPH_RE = re.compile(
     r"^G (-?[0-9]+(?:\.[0-9]+)?) (-?[0-9]+(?:\.[0-9]+)?) "
-    r"(-?[0-9]+(?:\.[0-9]+)?) (-?[0-9]+(?:\.[0-9]+)?) (\S)$"
+    r"(-?[0-9]+(?:\.[0-9]+)?) (-?[0-9]+(?:\.[0-9]+)?) (\S)$",
+    re.MULTILINE,
 )
 
 
-@dataclass
-class Glyph:
+class Glyph(NamedTuple):
     x: float
     y: float
     w: float
@@ -52,22 +56,34 @@ class Glyph:
     end: int
 
 
-@dataclass
 class Line:
-    glyphs: list[Glyph]
-    y_sum: float = 0.0
+    """Glyph run; x0/x1/y_sum are maintained by the constructor/append —
+    never recomputed per overlap test (they were the parse-time hot spot).
+    """
+
+    __slots__ = ("glyphs", "y_sum", "x0", "x1")
+
+    def __init__(self, glyphs: list[Glyph], y_sum: float) -> None:
+        self.glyphs = glyphs
+        self.y_sum = y_sum
+        if glyphs:
+            self.x0 = min(g.x for g in glyphs)
+            self.x1 = max(g.x + g.w for g in glyphs)
+        else:
+            self.x0 = 0.0
+            self.x1 = 0.0
 
     @property
     def y(self) -> float:
         return self.y_sum / len(self.glyphs)
 
-    @property
-    def x0(self) -> float:
-        return min(g.x for g in self.glyphs)
-
-    @property
-    def x1(self) -> float:
-        return max(g.x + g.w for g in self.glyphs)
+    def append(self, g: Glyph) -> None:
+        self.glyphs.append(g)
+        self.y_sum += g.y
+        if g.x < self.x0:
+            self.x0 = g.x
+        if g.x + g.w > self.x1:
+            self.x1 = g.x + g.w
 
 
 @dataclass
@@ -77,25 +93,13 @@ class Block:
 
 
 def parse_glyphs(payload: str) -> list[Glyph]:
-    glyphs: list[Glyph] = []
-    pos = 0
-    for raw_line in payload.split("\n"):
-        end = pos + len(raw_line)
-        m = _GLYPH_RE.match(raw_line)
-        if m:
-            glyphs.append(
-                Glyph(
-                    float(m.group(1)),
-                    float(m.group(2)),
-                    float(m.group(3)),
-                    float(m.group(4)),
-                    m.group(5),
-                    pos,
-                    end,
-                )
-            )
-        pos = end + 1
-    return glyphs
+    return [
+        Glyph(
+            float(m[1]), float(m[2]), float(m[3]), float(m[4]), m[5],
+            m.start(), m.end(),
+        )
+        for m in _GLYPH_RE.finditer(payload)
+    ]
 
 
 def _median(vals: list[float]) -> float:
@@ -108,8 +112,7 @@ def _cluster_lines(glyphs: list[Glyph], h_med: float, w_med: float) -> list[Line
     lines: list[Line] = []
     for g in sorted(glyphs, key=lambda g: (g.y, g.x, g.start)):
         if lines and abs(g.y - lines[-1].y) <= PDF_LINE_Y_TOL * h_med:
-            lines[-1].glyphs.append(g)
-            lines[-1].y_sum += g.y
+            lines[-1].append(g)
         else:
             lines.append(Line([g], g.y))
     # split each y-line at column gaps (two columns share a y but must not

@@ -111,31 +111,48 @@ def build_transcripts(
     repeat > 1 replicates the corpus with offset doc_ids (bench scaling
     only — payloads stay deterministic per synthetic doc_id).
     """
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
-    if repeat > 1:
-        base = docs
-        for r in range(1, repeat):
-            docs = docs.unionByName(
-                base.select(
-                    (F.col("doc_id") + F.lit(r * 10_000_000)).alias("doc_id"),
-                    "text",
-                )
-            )
+    docs = _read_docs(spark, sf_dir, repeat)
     # a small parquet arrives as 1-2 splits; spread the Python payload
     # builders over the cluster (cheap shuffle: raw doc text only)
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     payloads = docs.mapInPandas(
         _gen_payloads, schema="doc_id long, text string, tool string"
     )
+    return _with_transcript_meta(payloads).select(*TRANSCRIPT_COLS)
+
+
+def _read_docs(spark: SparkSession, sf_dir: str, repeat: int) -> DataFrame:
+    """One scan; repeat>1 replicates rows JVM-side via explode (a 64-way
+    union was 64 scans plus quadratic planning time)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    if repeat > 1:
+        docs = docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(repeat - 1)).cast("array<long>")
+            ).alias("rep"),
+        ).select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            "text",
+        )
+    return docs
+
+
+def _with_transcript_meta(df: DataFrame) -> DataFrame:
+    """Attach conv_id/turn_idx/role/ts derived from doc_id (JVM-side,
+    SQL-expressible — the DuckDB oracle rebuilds the same expressions)."""
     d = F.col("doc_id")
     conv_k = F.floor((d - 100) / 8)
     turn_idx = F.when(d < 100, d).otherwise((d - 100) % 8).cast("int")
     conv_ord = F.when(d < 100, F.lit(0)).otherwise(conv_k + 1)
     return (
-        payloads.withColumn(
+        df.withColumn(
             "conv_id",
             F.when(d < 100, F.lit("conv-skew")).otherwise(
-                F.concat(F.lit("conv-"), F.lpad(conv_k.cast("string"), 6, "0"))
+                F.format_string("conv-%06d", conv_k)
             ),
         )
         .withColumn("turn_idx", turn_idx)
@@ -159,8 +176,7 @@ def build_transcripts(
                 + F.col("turn_idx")
             ),
         )
-        .drop("doc_id", "conv_ord")
-        .select(*TRANSCRIPT_COLS)
+        .drop("conv_ord")
     )
 
 
@@ -225,6 +241,68 @@ def extract_transcripts(
     return salted.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
 
 
+def _gen_extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fused payload-build + extraction (single Arrow stage)."""
+    tc = TaskContext.get()
+    pid = tc.partitionId() if tc is not None else -1
+    for pdf in batches:
+        tools: list[Any] = []
+        kinds: list[str] = []
+        texts: list[str] = []
+        spans_json: list[str] = []
+        bytes_in: list[int] = []
+        bytes_out: list[int] = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            payload, tool = build_payload(int(doc_id), text or "")
+            kind, extracted, spans = extract_payload(payload, tool)
+            tools.append(tool)
+            kinds.append(kind)
+            texts.append(extracted)
+            spans_json.append(spans_to_json(spans))
+            bytes_in.append(len(payload.encode("utf-8")) if payload else 0)
+            bytes_out.append(len(extracted.encode("utf-8")))
+        yield pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"],
+                "turn_idx": pdf["turn_idx"],
+                "role": pdf["role"],
+                "tool": tools,
+                "ts": pdf["ts"],
+                "kind": kinds,
+                "extracted": texts,
+                "spans_json": spans_json,
+                "part_id": pid,
+                "bytes_in": bytes_in,
+                "bytes_out": bytes_out,
+            }
+        )
+
+
+def extract_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    repeat: int = 1,
+    salt_buckets: int = SALT_BUCKETS,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """documents at sf_dir -> extracted rows; the one-exchange fast path.
+
+    Physical plan: scan -> JVM metadata exprs -> ONE salted exchange of
+    raw doc rows (~300 B each, not the ~1.5 KB built payloads) -> a
+    single fused Arrow stage (payload build + extract). Identical output
+    to build_transcripts |> extract_transcripts (pytest-pinned), with
+    half the exchanges and half the JVM<->Python crossings.
+    """
+    meta = _with_transcript_meta(_read_docs(spark, sf_dir, repeat))
+    salt = F.pmod(F.xxhash64("turn_idx"), F.lit(salt_buckets))
+    if num_partitions:
+        salted = meta.repartition(num_partitions, F.col("conv_id"), salt)
+    else:
+        salted = meta.repartition(F.col("conv_id"), salt)
+    return salted.mapInPandas(_gen_extract_batches, schema=EXTRACT_SCHEMA)
+
+
 def ordered(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """Stable turn ordering: range-partition + in-partition sort on
     (conv_id, turn_idx) — the scale-friendly total order (north_rule).
@@ -269,7 +347,7 @@ def transcript_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn(
             "conv_id",
             F.when(d < 100, F.lit("conv-skew")).otherwise(
-                F.concat(F.lit("conv-"), F.lpad(conv_k.cast("string"), 6, "0"))
+                F.format_string("conv-%06d", conv_k)
             ),
         )
         .withColumn(
@@ -327,10 +405,7 @@ def run_extraction(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Convenience: documents at sf_dir -> ordered extraction output."""
-    t = build_transcripts(spark, sf_dir)
-    return ordered(
-        extract_transcripts(
-            t, salt_buckets=salt_buckets, num_partitions=num_partitions
-        ),
-        num_partitions=num_partitions,
+    ex = extract_corpus(
+        spark, sf_dir, salt_buckets=salt_buckets, num_partitions=num_partitions
     )
+    return ordered(ex, num_partitions=num_partitions)
