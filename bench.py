@@ -27,7 +27,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "4"))
-    partitions = int(os.environ.get("SPARK_GRAFT_PARTITIONS", str(cpus * 4)))
+    partitions = int(os.environ.get("SPARK_GRAFT_PARTITIONS", str(cpus * 2)))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 
     from pyspark.sql import functions as F

@@ -48,6 +48,7 @@ EXTRACT_SCHEMA = (
     "kind string, extracted string, spans_json string, "
     "part_id int, bytes_in long, bytes_out long"
 )
+EXTRACT_SCHEMA_COLS = [c.split(" ")[0] for c in EXTRACT_SCHEMA.split(", ")]
 
 #: typed face of spans_json; parsed JVM-side on demand (with_span_structs)
 SPANS_TYPE = "array<struct<start:int,end:int>>"
@@ -64,12 +65,17 @@ def with_span_structs(df: DataFrame) -> DataFrame:
 
 
 def session_builder(
-    master: str = "local[*]", app: str = "text_ocr_spark", **extra: str
+    master: str | None = "local[*]", app: str = "text_ocr_spark", **extra: str
 ) -> SparkSession.Builder:
-    """Opinionated session config (pyspark_guide-conformant)."""
+    """Opinionated session config (pyspark_guide-conformant).
+
+    master=None leaves the master to the launcher (spark-submit).
+    """
+    b = SparkSession.builder
+    if master is not None:
+        b = b.master(master)
     b = (
-        SparkSession.builder.master(master)
-        .appName(app)
+        b.appName(app)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -128,7 +134,13 @@ def _read_docs(spark: SparkSession, sf_dir: str, repeat: int) -> DataFrame:
         "doc_id", "text"
     )
     if repeat > 1:
-        docs = docs.select(
+        # spread the (tiny) base rows across cores FIRST: otherwise the
+        # explode and the following exchange's map-side write all run in
+        # the scan stage's 1-2 natural tasks — a serial bottleneck that
+        # caps scaling no matter how many cores the extract stage has
+        docs = docs.repartition(
+            spark.sparkContext.defaultParallelism
+        ).select(
             "doc_id",
             "text",
             F.explode(
@@ -141,20 +153,26 @@ def _read_docs(spark: SparkSession, sf_dir: str, repeat: int) -> DataFrame:
     return docs
 
 
+def _conv_id_expr(d: F.Column) -> F.Column:
+    conv_k = F.floor((d - 100) / 8)
+    return F.when(d < 100, F.lit("conv-skew")).otherwise(
+        F.format_string("conv-%06d", conv_k)
+    )
+
+
+def _turn_idx_expr(d: F.Column) -> F.Column:
+    return F.when(d < 100, d).otherwise((d - 100) % 8).cast("int")
+
+
 def _with_transcript_meta(df: DataFrame) -> DataFrame:
     """Attach conv_id/turn_idx/role/ts derived from doc_id (JVM-side,
     SQL-expressible — the DuckDB oracle rebuilds the same expressions)."""
     d = F.col("doc_id")
     conv_k = F.floor((d - 100) / 8)
-    turn_idx = F.when(d < 100, d).otherwise((d - 100) % 8).cast("int")
+    turn_idx = _turn_idx_expr(d)
     conv_ord = F.when(d < 100, F.lit(0)).otherwise(conv_k + 1)
     return (
-        df.withColumn(
-            "conv_id",
-            F.when(d < 100, F.lit("conv-skew")).otherwise(
-                F.format_string("conv-%06d", conv_k)
-            ),
-        )
+        df.withColumn("conv_id", _conv_id_expr(d))
         .withColumn("turn_idx", turn_idx)
         .withColumn(
             "role",
@@ -242,7 +260,13 @@ def extract_transcripts(
 
 
 def _gen_extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Fused payload-build + extraction (single Arrow stage)."""
+    """Fused payload-build + extraction (single Arrow stage).
+
+    Input is deliberately just (doc_id, text): every other transcript
+    column (conv_id/turn_idx/role/ts) is a pure JVM expression on doc_id
+    attached AFTER this stage — strings/timestamps that merely pass
+    through a pandas UDF cost Arrow+object conversion for nothing.
+    """
     tc = TaskContext.get()
     pid = tc.partitionId() if tc is not None else -1
     for pdf in batches:
@@ -263,11 +287,8 @@ def _gen_extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             bytes_out.append(len(extracted.encode("utf-8")))
         yield pd.DataFrame(
             {
-                "conv_id": pdf["conv_id"],
-                "turn_idx": pdf["turn_idx"],
-                "role": pdf["role"],
+                "doc_id": pdf["doc_id"],
                 "tool": tools,
-                "ts": pdf["ts"],
                 "kind": kinds,
                 "extracted": texts,
                 "spans_json": spans_json,
@@ -276,6 +297,12 @@ def _gen_extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                 "bytes_out": bytes_out,
             }
         )
+
+
+_FUSED_SCHEMA = (
+    "doc_id long, tool string, kind string, extracted string, "
+    "spans_json string, part_id int, bytes_in long, bytes_out long"
+)
 
 
 def extract_corpus(
@@ -288,19 +315,28 @@ def extract_corpus(
 ) -> DataFrame:
     """documents at sf_dir -> extracted rows; the one-exchange fast path.
 
-    Physical plan: scan -> JVM metadata exprs -> ONE salted exchange of
-    raw doc rows (~300 B each, not the ~1.5 KB built payloads) -> a
-    single fused Arrow stage (payload build + extract). Identical output
-    to build_transcripts |> extract_transcripts (pytest-pinned), with
-    half the exchanges and half the JVM<->Python crossings.
+    Physical plan: scan -> ONE salted exchange of (doc_id, text) rows
+    (the partitioning keys are computed expressions — no metadata
+    columns are materialized before the exchange) -> a single fused
+    Arrow stage (payload build + extract) -> JVM metadata expressions.
+    Identical output to build_transcripts |> extract_transcripts
+    (pytest-pinned), with half the exchanges and a minimal Arrow
+    boundary: 2 columns in, none passing through.
     """
-    meta = _with_transcript_meta(_read_docs(spark, sf_dir, repeat))
-    salt = F.pmod(F.xxhash64("turn_idx"), F.lit(salt_buckets))
-    if num_partitions:
-        salted = meta.repartition(num_partitions, F.col("conv_id"), salt)
+    docs = _read_docs(spark, sf_dir, repeat)
+    if salt_buckets <= 0:
+        # no exchange: trust the source partitioning (an Iceberg table
+        # bucketed on conv_id arrives pre-spread, skew pre-defused)
+        salted = docs
     else:
-        salted = meta.repartition(F.col("conv_id"), salt)
-    return salted.mapInPandas(_gen_extract_batches, schema=EXTRACT_SCHEMA)
+        d = F.col("doc_id")
+        salt = F.pmod(F.xxhash64(_turn_idx_expr(d)), F.lit(salt_buckets))
+        if num_partitions:
+            salted = docs.repartition(num_partitions, _conv_id_expr(d), salt)
+        else:
+            salted = docs.repartition(_conv_id_expr(d), salt)
+    raw = salted.mapInPandas(_gen_extract_batches, schema=_FUSED_SCHEMA)
+    return _with_transcript_meta(raw).select(*EXTRACT_SCHEMA_COLS)
 
 
 def ordered(df: DataFrame, num_partitions: int | None = None) -> DataFrame:

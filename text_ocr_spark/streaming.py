@@ -1,0 +1,115 @@
+"""Structured Streaming surface — the camera-feed analog (SURVEY.md §2 A10).
+
+The reference's streaming entry is an unbounded, stateless, per-frame
+map: every NV21 camera frame runs the same detect pipeline independently
+(ref app/src/main/java/cn/sskbskdrin/ocr/demo/CameraImpl.java:258-262 ->
+ocrlib/src/main/cpp/jni/main.cpp:51-70). The graft mirrors that shape:
+
+- ``stream_extract``: file-source stream of transcript rows ->
+  ``foreachBatch`` running the SAME batch transform (extract_transcripts)
+  -> append sink. Stateless per turn, so no watermark/state is needed
+  and batch/stream results are identical by construction (pytest-pinned
+  with an availableNow trigger). Restart safety comes from the stream
+  checkpoint; on an Iceberg sink the foreachBatch append is idempotent
+  per epoch.
+- ``stream_turn_rates``: the one genuinely event-time surface — per-kind
+  turn counts in tumbling windows with a watermark for late data. The
+  reference has no event-time aggregation at all (each frame stands
+  alone), so this is a graft extension, kept windowed + watermarked the
+  idiomatic Structured Streaming way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from text_ocr_spark.pipeline import SALT_BUCKETS, extract_transcripts
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp"
+)
+
+
+def read_transcript_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """Unbounded transcript source (file stream; swap for
+    ``readStream.format('iceberg')`` incremental scan on a catalog)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def stream_extract(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    salt_buckets: int = SALT_BUCKETS,
+    num_partitions: int | None = None,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Stream turns through the batch extraction transform.
+
+    foreachBatch(batch transform) keeps ONE implementation for both
+    surfaces — exactly the reference's design, where the camera path
+    reuses the gallery detect pipeline wholesale.
+    """
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        out = extract_transcripts(
+            batch_df, salt_buckets=salt_buckets, num_partitions=num_partitions
+        ).withColumn("epoch_id", F.lit(epoch_id))
+        out.write.mode("append").parquet(out_dir)
+
+    writer = (
+        read_transcript_stream(spark, input_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def turn_rates(df: DataFrame) -> DataFrame:
+    """Shared windowed aggregation: 1-minute tumbling per-role counts."""
+    return (
+        df.withWatermark("ts", "5 minutes")
+        .groupBy(F.window("ts", "1 minute").alias("w"), F.col("role"))
+        .agg(
+            F.count("*").alias("n_turns"),
+            F.sum(F.length("text")).alias("sum_chars"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "role",
+            "n_turns",
+            "sum_chars",
+        )
+    )
+
+
+def stream_turn_rates(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Watermarked tumbling-window turn rates, append-mode sink."""
+    writer = (
+        turn_rates(read_transcript_stream(spark, input_dir))
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
