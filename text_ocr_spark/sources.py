@@ -1,0 +1,129 @@
+"""Transcript sources/sinks — the entry-point family (SURVEY.md §2.A).
+
+The reference exposes three decode entries for the same pipeline
+(Bitmap / NV21 / path, ref ocrlib/src/main/cpp/jni/main.cpp:51-94); the
+graft's analog is one canonical transcript shape reachable from several
+storage formats:
+
+- parquet (primary; the driver's testdata layout)
+- json / csv line files (landing-zone dumps)
+- an Iceberg catalog table (the production 10^12-turn path) — gated on
+  the iceberg-spark runtime jar, absent in this sandbox, so the call is
+  code-complete but raises a clear error here.
+
+Every reader returns the exact ``input_hint`` schema
+(conv_id, turn_idx, role, text, tool, ts) with declared — never
+inferred — types, normalizing column order; schema inference is banned
+because silent drift (e.g. turn_idx read as long) breaks Arrow batch
+contracts downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+TRANSCRIPT_STRUCT = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("turn_idx", IntegerType()),
+        StructField("role", StringType()),
+        StructField("text", StringType()),
+        StructField("tool", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+_COLS = [f.name for f in TRANSCRIPT_STRUCT.fields]
+
+
+def _canon(df: DataFrame) -> DataFrame:
+    """Project to the declared schema (order + exact types)."""
+    return df.select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in TRANSCRIPT_STRUCT.fields]
+    )
+
+
+def read_transcripts(
+    spark: SparkSession, path: str, *, fmt: str = "parquet"
+) -> DataFrame:
+    """Batch-read a transcripts table from a file-based source."""
+    if fmt == "parquet":
+        return _canon(spark.read.parquet(path))
+    if fmt == "json":
+        return _canon(spark.read.schema(TRANSCRIPT_STRUCT).json(path))
+    if fmt == "csv":
+        # payloads embed newlines/commas/quotes: multiLine + RFC-4180
+        # double-quote escaping (write with the same escape option)
+        return _canon(
+            spark.read.schema(TRANSCRIPT_STRUCT)
+            .option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ssXXX")
+            .csv(path)
+        )
+    raise ValueError(f"unsupported transcript format: {fmt!r}")
+
+
+def read_transcripts_iceberg(
+    spark: SparkSession,
+    table: str,
+    *,
+    snapshot_id: int | None = None,
+    start_snapshot_id: int | None = None,
+) -> DataFrame:
+    """Iceberg catalog read — the production source (north_rule).
+
+    ``snapshot_id`` pins a point-in-time read (resume contract);
+    ``start_snapshot_id`` switches to an incremental changelog read of
+    appends since that snapshot. Requires the iceberg-spark-runtime jar
+    on the classpath plus a configured catalog; this sandbox ships
+    neither, so the error path is the tested one.
+    """
+    if not _has_iceberg(spark):
+        raise RuntimeError(
+            "iceberg-spark-runtime is not on the classpath; configure "
+            "spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog "
+            "and submit with the runtime jar"
+        )
+    reader = spark.read
+    if snapshot_id is not None:
+        reader = reader.option("snapshot-id", str(snapshot_id))
+    if start_snapshot_id is not None:
+        reader = reader.format("iceberg").option(
+            "start-snapshot-id", str(start_snapshot_id)
+        )
+    return _canon(reader.table(table))
+
+
+def write_extracted(
+    df: DataFrame, target: str, *, fmt: str = "parquet", mode: str = "append"
+) -> None:
+    """Sink: parquet dir (sandbox) or Iceberg table name (production).
+
+    On Iceberg, `writeTo(...).append()` gives atomic snapshot commits;
+    the parquet path approximates that with directory-level appends and
+    the checkpoint module's rename-commit manifest.
+    """
+    if fmt == "iceberg":
+        df.writeTo(target).append()
+        return
+    df.write.mode(mode).parquet(target)
+
+
+def _has_iceberg(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
