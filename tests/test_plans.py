@@ -1,0 +1,92 @@
+"""Physical-plan quality gates (the .explain discipline, SURVEY.md §4.2).
+
+These assert the plan SHAPE, not timings: filters reach the parquet
+scan, projections prune the read schema, small sides broadcast, the
+extraction pipeline pays exactly one exchange before its single Arrow
+stage, and JVM-only ops stay inside whole-stage codegen with no Python
+in the plan. A regression that silently de-optimizes a plan fails here
+long before it shows up in bench numbers.
+"""
+
+from __future__ import annotations
+
+import re
+
+from tests.conftest import SF_TINY
+
+
+def plan_str(spark, df, mode: str = "formatted") -> str:
+    em = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(em)
+
+
+def test_q1_filter_pushdown_and_pruning(spark):
+    from text_ocr_spark.ops.relational import q1_pricing_summary
+
+    p = plan_str(spark, q1_pricing_summary(spark, SF_TINY))
+    assert re.search(r"PushedFilters:.*LessThanOrEqual\(l_shipdate", p)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m is not None
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    # 7 needed columns, not all 16 of lineitem
+    assert read_cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }
+
+
+def test_small_dim_join_broadcasts(spark):
+    from text_ocr_spark.ops.relational import top_revenue_customers
+
+    p = plan_str(spark, top_revenue_customers(spark, SF_TINY))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_brute_topk_broadcasts_queries(spark):
+    from text_ocr_spark.ops.similarity import brute_topk
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    p = plan_str(spark, brute_topk(emb))
+    assert "BroadcastNestedLoopJoin" in p  # tiny query side x big corpus
+
+
+def test_extract_pipeline_exchange_budget(spark):
+    """The fused path: exactly ONE exchange, ONE Arrow stage, and the
+    exchange moves only (doc_id, text) — metadata attaches after."""
+    from text_ocr_spark.pipeline import extract_corpus
+
+    df = extract_corpus(spark, SF_TINY, num_partitions=8)
+    p = plan_str(spark, df)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m is not None
+    assert {c.split(":")[0] for c in m.group(1).split(",")} == {
+        "doc_id", "text",
+    }
+
+
+def test_jvm_only_ops_have_no_python_stage(spark):
+    from text_ocr_spark.ops.relational import events_hourly
+    from text_ocr_spark.ops.text_stats import token_stats
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    for df in (token_stats(docs), events_hourly(spark, SF_TINY)):
+        p = plan_str(spark, df)
+        assert "MapInPandas" not in p
+        assert "BatchEvalPython" not in p
+        assert "ArrowEvalPython" not in p
+    # codegen markers ('* ' node prefix in formatted mode) are visible on
+    # the non-AQE plan; AQE plans hide them until the final plan
+    assert re.search(r"^\s*\S*\s*\* \w", plan_str(spark, token_stats(docs)), re.M)
+
+
+def test_ordered_output_is_range_partitioned(spark):
+    from text_ocr_spark.pipeline import extract_corpus, ordered
+
+    df = ordered(extract_corpus(spark, SF_TINY, num_partitions=8), 8)
+    p = plan_str(spark, df)
+    assert "rangepartitioning(conv_id" in p
+    # in-partition sort (global=false), never a single-partition sort
+    assert re.search(r"\[conv_id[^\]]*turn_idx[^\]]*\], false", p)
