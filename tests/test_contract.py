@@ -72,7 +72,9 @@ def test_every_query_has_oracle_or_reason():
     qs, os_ = set(e.queries()), set(e.oracle_sql())
     assert os_ <= qs
     # rows-only exceptions are exactly the approximate/stub-backed ops
-    assert qs - os_ == {"dedup_simhash", "knn_lsh", "multimodal_features"}
+    assert qs - os_ == {
+        "dedup_simhash", "knn_ivf", "knn_lsh", "multimodal_features",
+    }
 
 
 @pytest.mark.parametrize("name", SUBSET)

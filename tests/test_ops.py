@@ -112,6 +112,43 @@ def test_lsh_recall_vs_brute(spark, emb):
     assert hits >= max(1, len(approx) // 4)
 
 
+def test_ivf_topk_recall(spark, emb):
+    """Probe search must return true top-k members of the probed cells
+    and recall a meaningful share of the brute-force neighbors."""
+    from text_ocr_spark.ops.similarity import brute_topk, ivf_topk
+
+    brute = {(r.query_id, r.neighbor_id) for r in brute_topk(emb).collect()}
+    approx = [(r.query_id, r.neighbor_id) for r in ivf_topk(emb).collect()]
+    assert len(approx) > 0
+    hits = sum(1 for p in approx if p in brute)
+    # probing 2/8 cells of a near-random corpus: expect solid overlap
+    assert hits >= len(approx) // 4
+    # ranks are dense 1..k per query
+    per_q = {}
+    for r in ivf_topk(emb).collect():
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_frame_sample_windows(spark, docs):
+    """Frame rows are exact byte windows: offsets on the stride grid,
+    hashes matching a driver-side recompute."""
+    import hashlib
+
+    from text_ocr_spark.ops.multimodal import frame_sample
+
+    frames = frame_sample(docs).collect()
+    assert len(frames) > 0
+    raw = {
+        r.doc_id: (r.text or "").encode("utf-8")
+        for r in docs.select("doc_id", "text").collect()
+    }
+    for r in frames[:200]:
+        assert r.offset % 512 == 0 and r.frame_idx == r.offset // 512
+        want = hashlib.md5(raw[r.doc_id][r.offset : r.offset + 256]).hexdigest()[:16]
+        assert r.sha16 == want
+
+
 def test_ivf_assign_total(spark, emb):
     from text_ocr_spark.ops.similarity import ivf_assign
 

@@ -109,27 +109,44 @@ def _median(vals: list[float]) -> float:
 
 
 def _cluster_lines(glyphs: list[Glyph], h_med: float, w_med: float) -> list[Line]:
-    lines: list[Line] = []
+    # phase 1 with plain locals: the running-mean membership test
+    # (|y - mean(cur)| <= tol*h_med, ref C3's seed-growing semantics)
+    # is sequential by definition, so the win is avoiding 250k
+    # attribute/method calls, not vectorizing
+    y_tol = PDF_LINE_Y_TOL * h_med
+    groups: list[list[Glyph]] = []
+    cur: list[Glyph] = []
+    cur_y_sum = 0.0
     for g in sorted(glyphs, key=lambda g: (g.y, g.x, g.start)):
-        if lines and abs(g.y - lines[-1].y) <= PDF_LINE_Y_TOL * h_med:
-            lines[-1].append(g)
+        if cur and abs(g.y - cur_y_sum / len(cur)) <= y_tol:
+            cur.append(g)
+            cur_y_sum += g.y
         else:
-            lines.append(Line([g], g.y))
+            if cur:
+                groups.append(cur)
+            cur = [g]
+            cur_y_sum = g.y
+    if cur:
+        groups.append(cur)
     # split each y-line at column gaps (two columns share a y but must not
     # fuse into one reading-order line)
+    col_gap = PDF_COL_GAP * w_med
     out: list[Line] = []
-    for ln in lines:
-        ln.glyphs.sort(key=lambda g: (g.x, g.start))
+    for grp in groups:
+        grp.sort(key=lambda g: (g.x, g.start))
         seg: list[Glyph] = []
+        seg_y = 0.0
         prev_end = None
-        for g in ln.glyphs:
-            if prev_end is not None and g.x - prev_end > PDF_COL_GAP * w_med:
-                out.append(Line(seg, sum(s.y for s in seg)))
+        for g in grp:
+            if prev_end is not None and g.x - prev_end > col_gap:
+                out.append(Line(seg, seg_y))
                 seg = []
+                seg_y = 0.0
             seg.append(g)
+            seg_y += g.y
             prev_end = g.x + g.w
         if seg:
-            out.append(Line(seg, sum(s.y for s in seg)))
+            out.append(Line(seg, seg_y))
     return out
 
 

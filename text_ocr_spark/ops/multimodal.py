@@ -98,3 +98,54 @@ def media_features(docs: DataFrame) -> DataFrame:
 def media_meta(docs: DataFrame) -> DataFrame:
     """JVM-only metadata view (the SQL-oracle-checkable face of to_media)."""
     return to_media(docs).select("doc_id", "media_type", "n_bytes", "sha16")
+
+
+FRAME_WINDOW = 256
+FRAME_STRIDE = 512
+
+
+def frame_sample(
+    docs: DataFrame, *, window: int = FRAME_WINDOW, stride: int = FRAME_STRIDE
+) -> DataFrame:
+    """Sample 'frames' from video payloads: one row per fixed-size byte
+    window at a fixed stride — the frame-extraction plumbing (explode
+    shape, per-frame hashing, offset bookkeeping) with the codec decode
+    stubbed as deterministic byte windows. Swap the window slicer for a
+    real demuxer (pyav/ffmpeg) where available; the Spark shape stays.
+
+    -> (doc_id, frame_idx, offset, sha16). Payloads shorter than one
+    window emit no rows.
+    """
+    media = to_media(docs).filter(F.col("media_type") == "video/mp4")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            offs: list[int] = []
+            shas: list[str] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload) if payload is not None else b""
+                i = 0
+                off = 0
+                while off + window <= len(buf):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    offs.append(off)
+                    shas.append(
+                        hashlib.md5(buf[off : off + window]).hexdigest()[:16]
+                    )
+                    i += 1
+                    off += stride
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": np.array(idxs, dtype=np.int32),
+                    "offset": np.array(offs, dtype=np.int64),
+                    "sha16": shas,
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        sample, schema="doc_id long, frame_idx int, offset long, sha16 string"
+    )

@@ -99,6 +99,73 @@ def ivf_assign(emb: DataFrame, *, n_centroids: int = 8) -> DataFrame:
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    *,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF probe search: rank centroids per query, scan only the top
+    n_probe cells' members, then top-k within the candidates.
+
+    The scale path for ANN over a clustered corpus: the corpus shuffles
+    ONCE on its cell assignment; each query touches n_probe/n_centroids
+    of the data. Approximate (recall asserted in pytest vs brute_topk);
+    -> (query_id, rank, neighbor_id).
+    """
+    cent = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    corpus = emb.filter(F.col("vec_id") >= n_queries)
+    assigned = (
+        corpus.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .withColumn("cos", cosine_col("embedding", "cv"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("cos"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("cv_n"),
+            "centroid_id",
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cent))
+        .withColumn("cos", cosine_col("qv", "cv"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cos"), F.asc("centroid_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    scored = assigned.join(F.broadcast(probes), "centroid_id").withColumn(
+        "cos", cosine_col("qv", "cv_n")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # sign-random-projection LSH
 # --------------------------------------------------------------------------
