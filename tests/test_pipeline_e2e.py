@@ -137,3 +137,22 @@ def test_repeat_replication(spark):
     assert t3.filter(F.col("text").isNotNull()).count() == build_transcripts(
         spark, SF_TINY, repeat=3
     ).filter(F.col("text").isNotNull()).count()
+
+
+def test_with_span_structs_typed(spark):
+    """Typed span column parses the pair-array JSON exactly."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.pipeline import extract_corpus, with_span_structs
+
+    ex = with_span_structs(extract_corpus(spark, SF_TINY, num_partitions=4))
+    rows = ex.filter(F.col("spans_json") != "[]").select(
+        "spans", "spans_json"
+    ).take(50)
+    assert rows
+    for r in rows:
+        assert r.spans
+        assert json.loads(r.spans_json) == [[s.start, s.end] for s in r.spans]
+        assert all(0 <= s.start <= s.end for s in r.spans)

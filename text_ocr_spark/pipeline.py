@@ -50,18 +50,24 @@ EXTRACT_SCHEMA = (
 )
 EXTRACT_SCHEMA_COLS = [c.split(" ")[0] for c in EXTRACT_SCHEMA.split(", ")]
 
-#: typed face of spans_json; parsed JVM-side on demand (with_span_structs)
-SPANS_TYPE = "array<struct<start:int,end:int>>"
-
-
 def with_span_structs(df: DataFrame) -> DataFrame:
     """Add the typed ``spans array<struct<start,end>>`` column.
 
-    The Python stage emits compact JSON (cheap through Arrow); Catalyst's
-    from_json materializes the struct column only for consumers that want
-    it — building struct rows in Python cost more than the extraction.
+    The Python stage emits compact JSON pair-arrays ``[[s,e],...]``
+    (cheap through Arrow); Catalyst's from_json + transform materialize
+    the struct column only for consumers that want it — building struct
+    rows in Python cost more than the extraction itself.
     """
-    return df.withColumn("spans", F.from_json("spans_json", SPANS_TYPE))
+    arr = F.from_json("spans_json", "array<array<int>>")
+    return df.withColumn(
+        "spans",
+        F.transform(
+            arr,
+            lambda a: F.struct(
+                a[0].alias("start"), a[1].alias("end")
+            ),
+        ),
+    )
 
 
 def session_builder(
@@ -430,6 +436,60 @@ def conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("ts_epoch") - F.min("ts_epoch")).alias("span_secs"),
         )
         .orderBy("conv_id")
+    )
+
+
+def extract_spans_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debug-sink analog (SURVEY.md §2 A7: per-region overlay rows):
+    one row per extracted span, JVM-side posexplode of the typed span
+    column. Span-less turns emit nothing, mirroring the reference's
+    draw path (only detected regions are drawn)."""
+    ex = with_span_structs(extract_corpus(spark, sf_dir))
+    return ex.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode("spans").alias("span_idx", "s"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        F.col("s.start").alias("start"),
+        F.col("s.end").alias("end"),
+        (F.col("s.end") - F.col("s.start")).alias("span_len"),
+    )
+
+
+def conversation_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-iterator surface: applyInPandas keyed by conv_id — the
+    per-conversation fold the north_rule's grouped UDFs exist for.
+
+    Each group arrives as one pandas frame; the fold (order by turn_idx,
+    chain-digest the extracted texts) genuinely needs whole-conversation
+    context, unlike the per-turn map stages. At scale the groupBy
+    shuffles once on unsalted conv_id — acceptable because per-group
+    output is O(1); the salted stage upstream already defused the
+    extraction skew.
+    """
+    import hashlib
+
+    ex = extract_corpus(spark, sf_dir).select(
+        "conv_id", "turn_idx", "extracted"
+    )
+
+    def digest(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        joined = "\x1f".join(pdf["extracted"].tolist())
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "n_turns": [len(pdf)],
+                "digest": [hashlib.md5(joined.encode("utf-8")).hexdigest()[:16]],
+                "sum_chars": [int(pdf["extracted"].str.len().sum())],
+            }
+        )
+
+    return ex.groupBy("conv_id").applyInPandas(
+        digest, "conv_id string, n_turns long, digest string, sum_chars long"
     )
 
 
