@@ -26,7 +26,7 @@ import time
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "4"))
+    repeat = int(os.environ.get("SPARK_GRAFT_REPEAT", "16"))
     partitions = int(os.environ.get("SPARK_GRAFT_PARTITIONS", str(cpus * 2)))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
 

@@ -30,13 +30,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     frac = lambda c: F.col(c).cast("decimal(6,4)")  # noqa: E731
     one = F.lit(1).cast("decimal(6,4)")
     disc = money("l_extendedprice") * (one - frac("l_discount"))
-    # epoch-derived literal (904694400 = 1998-09-02T00:00:00Z): folds to
-    # a timestamp constant, so the predicate PUSHES DOWN to the parquet
-    # scan (unix_timestamp(col) <= n wraps the column and blocks pushdown
-    # — .explain showed no PushedFilters; this form shows
-    # LessThanOrEqual(l_shipdate, ...) and is pytest-asserted)
+    # NTZ literal (== 1998-09-02T00:00:00Z epoch 904694400): TZ-proof —
+    # an ltz literal (timestamp_seconds) coerces against the NTZ column
+    # through the SESSION zone and shifts the cutoff — AND it folds to a
+    # constant so the predicate PUSHES DOWN to the parquet scan
+    # (unix_timestamp(col) <= n wraps the column and blocks pushdown;
+    # both properties are pytest-asserted)
     return (
-        li.filter(F.col("l_shipdate") <= F.timestamp_seconds(F.lit(904694400)))
+        li.filter(
+            F.col("l_shipdate")
+            <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz")
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             # final round(4): decimal->double conversion differs in the
