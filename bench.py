@@ -60,6 +60,9 @@ def main() -> int:
     spark.range(cpus * 4).repartition(cpus * 4).mapInPandas(
         _noop, schema="id long"
     ).count()
+    # one un-replicated pass primes scan/codegen/AQE codepaths so timed
+    # queries report steady-state throughput (extract_job does the same)
+    extract_corpus(spark, sf_dir, repeat=1, num_partitions=partitions).count()
 
     timings: dict[str, float] = {}
     extra: dict[str, float] = {}

@@ -74,6 +74,7 @@ def test_every_query_has_oracle_or_reason():
     # rows-only exceptions are exactly the approximate/stub-backed ops
     assert qs - os_ == {
         "dedup_simhash", "knn_ivf", "knn_lsh", "multimodal_features",
+        "multimodal_resize",
     }
 
 

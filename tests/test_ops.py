@@ -181,3 +181,17 @@ def test_quality_score_bounds(spark, docs):
     out = quality_score(docs).collect()
     assert all(0.0 <= r.quality <= 1.0 for r in out)
     assert {r.bucket for r in out} <= {"high", "medium", "low"}
+
+
+def test_media_resize_dims(spark, docs):
+    """Aspect-preserving resize math: bounded by max_side, ratio kept."""
+    from text_ocr_spark.ops.multimodal import media_resize
+
+    out = media_resize(docs).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 1 <= r.out_w <= 64 and 1 <= r.out_h <= 64
+        assert max(r.out_w, r.out_h) == 64  # sources are >= 64px fakes
+        want_ratio = r.width / r.height
+        got_ratio = r.out_w / r.out_h
+        assert abs(want_ratio - got_ratio) / want_ratio < 0.1

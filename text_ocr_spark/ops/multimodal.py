@@ -100,6 +100,36 @@ def media_meta(docs: DataFrame) -> DataFrame:
     return to_media(docs).select("doc_id", "media_type", "n_bytes", "sha16")
 
 
+def media_resize(
+    docs: DataFrame, *, max_side: int = 64
+) -> DataFrame:
+    """Resize plumbing for image payloads: aspect-preserving target dims
+    from the (stubbed) decoded dimensions — the pixel resample itself
+    needs PIL/opencv and stays behind decode_image; the dimension math,
+    schema, and batch shape are real.
+
+    -> (doc_id, width, height, out_w, out_h, scale).
+    """
+    feat = media_features(docs).filter(F.col("media_type") == "image/png")
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side)
+        / F.greatest(F.col("width"), F.col("height")).cast("double"),
+    )
+    return feat.select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(
+            F.lit(1), F.round(F.col("width") * scale).cast("int")
+        ).alias("out_w"),
+        F.greatest(
+            F.lit(1), F.round(F.col("height") * scale).cast("int")
+        ).alias("out_h"),
+        F.round(scale, 6).alias("scale"),
+    )
+
+
 FRAME_WINDOW = 256
 FRAME_STRIDE = 512
 
