@@ -27,9 +27,11 @@ def test_minhash_equals_exact_jaccard(spark, docs):
     """
     from text_ocr_spark.ops.dedup import jaccard_pairs, minhash_dedup
 
+    # force the inverted-index path: the independent ground truth
+    # (jaccard_pairs itself probe-routes to the dense kernel by default)
     exact = {
         (r.doc_a, r.doc_b, r.jaccard)
-        for r in jaccard_pairs(docs, 0.95).collect()
+        for r in jaccard_pairs(docs, 0.95, dense_vocab_limit=0).collect()
     }
     dense = {
         (r.doc_a, r.doc_b, r.jaccard)
@@ -195,3 +197,38 @@ def test_media_resize_dims(spark, docs):
         want_ratio = r.width / r.height
         got_ratio = r.out_w / r.out_h
         assert abs(want_ratio - got_ratio) / want_ratio < 0.1
+
+
+def test_dense_tiles_multiblock_regression(spark, docs, emb):
+    """Forced small blocks (many cross-block tiles) must equal the
+    single-block result — guards the cross-tile pair-orientation bug
+    that only appears at multi-block scale."""
+    import numpy as np
+
+    from text_ocr_spark.ops.dedup import (
+        _dense_jaccard_pairs,
+        _probe_small_vocab,
+        embed_pairs,
+        jaccard_pairs,
+    )
+
+    vocab = _probe_small_vocab(docs, 4096)
+    assert vocab is not None
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs(docs, 0.95, dense_vocab_limit=0).collect()
+    }
+    multi = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in _dense_jaccard_pairs(docs, 0.95, vocab, block_size=64).collect()
+    }
+    assert multi == exact
+
+    single = {
+        (r.vec_a, r.vec_b, r.cos) for r in embed_pairs(emb).collect()
+    }
+    multi_e = {
+        (r.vec_a, r.vec_b, r.cos)
+        for r in embed_pairs(emb, block_size=64).collect()
+    }
+    assert multi_e == single and len(single) > 0

@@ -78,12 +78,41 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_pairs(docs: DataFrame, threshold: float = 0.95) -> DataFrame:
+def _probe_small_vocab(
+    docs: DataFrame, dense_vocab_limit: int
+) -> list[str] | None:
+    """One-pass approx_count_distinct probe; on a small vocabulary
+    returns the sorted exact vocab (bounded driver collect), else None."""
+    if dense_vocab_limit <= 0:
+        return None
+    tok = docs.select(F.explode(tokens_col()).alias("w"))
+    approx = tok.agg(F.approx_count_distinct("w").alias("n")).first()["n"]
+    if approx > dense_vocab_limit:
+        return None
+    # limit bounds driver memory even if the probe underestimated
+    rows = tok.distinct().limit(dense_vocab_limit + 1).collect()
+    if len(rows) > dense_vocab_limit:
+        return None
+    return sorted(r.w for r in rows)
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.95,
+    dense_vocab_limit: int = DENSE_VOCAB_LIMIT,
+) -> DataFrame:
     """Exact token-set jaccard pairs (doc_a < doc_b, jaccard >= threshold).
 
-    Inverted-index blocking: pairs must share >= 1 token, so the self-join
-    is on the token, not a cross join.
+    Two exact physical strategies, probe-routed like minhash_dedup:
+    small vocabularies take the dense bitset tile kernel (the inverted
+    index degenerates when every token is common — sum(df^2) join rows
+    grow quadratically); big vocabularies take inverted-index blocking,
+    where pairs must share >= 1 token so the self-join is on the token,
+    not a cross join.
     """
+    vocab = _probe_small_vocab(docs, dense_vocab_limit)
+    if vocab is not None:
+        return _dense_jaccard_pairs(docs, threshold, vocab)
     tok = docs.select("doc_id", F.explode(tokens_col()).alias("w"))
     card = tok.groupBy("doc_id").agg(F.count("*").alias("card"))
     a, b = tok.alias("a"), tok.alias("b")
@@ -191,7 +220,10 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def _dense_jaccard_pairs(
-    docs: DataFrame, threshold: float, vocab: list[str]
+    docs: DataFrame,
+    threshold: float,
+    vocab: list[str],
+    block_size: int = DENSE_BLOCK,
 ) -> DataFrame:
     """Exact all-pairs jaccard via packed-bitset popcount tiles.
 
@@ -201,13 +233,20 @@ def _dense_jaccard_pairs(
     computes |A & B| for its doc-cross-product as a single float32 BLAS
     matmul of unpacked bit matrices (counts <= 4096 are exact in f32).
     No token arrays ever shuffle; tile inputs are ~1 MB of packed masks.
+
+    Tile orientation: a same-block tile keeps its upper triangle
+    (id_a < id_b); a cross-block tile sees every unordered pair exactly
+    once (blocks are disjoint) and ORIENTS it to (min_id, max_id) —
+    filtering on id_a < id_b there would silently drop the half of the
+    pairs whose ids run against the block order (caught only at multi-
+    block scale; regression-tested with forced small blocks).
     """
     vid = {w: i for i, w in enumerate(vocab)}
     words = (len(vocab) + 63) // 64
     nbytes = words * 8
 
     n_docs = docs.count()
-    n_blocks = max(1, -(-n_docs // DENSE_BLOCK))
+    n_blocks = max(1, -(-n_docs // block_size))
 
     tok = docs.select("doc_id", tokens_col().alias("toks"))
 
@@ -240,7 +279,10 @@ def _dense_jaccard_pairs(
         blocks.alias("a")
         .join(blocks.alias("b"), F.col("a.block") <= F.col("b.block"))
         .select(
-            F.col("a.docs").alias("docs_a"), F.col("b.docs").alias("docs_b")
+            F.col("a.block").alias("block_a"),
+            F.col("b.block").alias("block_b"),
+            F.col("a.docs").alias("docs_a"),
+            F.col("b.docs").alias("docs_b"),
         )
         .repartition(n_blocks * (n_blocks + 1) // 2)
     )
@@ -255,7 +297,9 @@ def _dense_jaccard_pairs(
 
     def tile_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for docs_a, docs_b in zip(pdf["docs_a"], pdf["docs_b"]):
+            for block_a, block_b, docs_a, docs_b in zip(
+                pdf["block_a"], pdf["block_b"], pdf["docs_a"], pdf["docs_b"]
+            ):
                 ids_a, card_a, bits_a = unpack(list(docs_a))
                 ids_b, card_b, bits_b = unpack(list(docs_b))
                 inter = (bits_a @ bits_b.T).astype(np.int64)
@@ -263,12 +307,15 @@ def _dense_jaccard_pairs(
                 # identical double math to the DuckDB oracle:
                 # CAST(n_inter AS DOUBLE) / (card_a + card_b - n_inter)
                 jac = inter.astype(np.float64) / union
-                keep = (jac >= threshold) & (ids_a[:, None] < ids_b[None, :])
+                keep = jac >= threshold
+                if block_a == block_b:
+                    keep &= ids_a[:, None] < ids_b[None, :]
                 ai, bi = np.nonzero(keep)
+                da, db = ids_a[ai], ids_b[bi]
                 yield pd.DataFrame(
                     {
-                        "doc_a": ids_a[ai],
-                        "doc_b": ids_b[bi],
+                        "doc_a": np.minimum(da, db),
+                        "doc_b": np.maximum(da, db),
                         "jaccard": jac[ai, bi],
                     }
                 )
@@ -292,16 +339,9 @@ def minhash_dedup(
     is 1 - (1 - j^4)^32 ~= 1 - 4e-24, and the dense path is exhaustive,
     so either way the result equals jaccard_pairs (pytest-asserted).
     """
-    if dense_vocab_limit > 0:
-        tok = docs.select(F.explode(tokens_col()).alias("w"))
-        approx = tok.agg(F.approx_count_distinct("w").alias("n")).first()["n"]
-        if approx <= dense_vocab_limit:
-            # limit bounds driver memory even if the probe underestimated
-            rows = tok.distinct().limit(dense_vocab_limit + 1).collect()
-            if len(rows) <= dense_vocab_limit:
-                return _dense_jaccard_pairs(
-                    docs, threshold, sorted(r.w for r in rows)
-                )
+    vocab = _probe_small_vocab(docs, dense_vocab_limit)
+    if vocab is not None:
+        return _dense_jaccard_pairs(docs, threshold, vocab)
     cand = minhash_candidates(docs)
     toks = docs.select("doc_id", tokens_col().alias("toks"))
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
@@ -329,7 +369,11 @@ def minhash_dedup(
 EMBED_THRESHOLD = 0.35
 
 
-def embed_pairs(emb: DataFrame, threshold: float = EMBED_THRESHOLD) -> DataFrame:
+def embed_pairs(
+    emb: DataFrame,
+    threshold: float = EMBED_THRESHOLD,
+    block_size: int = DENSE_BLOCK,
+) -> DataFrame:
     """Near-dup pairs by embedding cosine: (vec_a, vec_b, round(cos, 6)).
 
     Exact all-pairs via distributed blocked GEMM: vectors hash into B
@@ -341,7 +385,7 @@ def embed_pairs(emb: DataFrame, threshold: float = EMBED_THRESHOLD) -> DataFrame
     blocks; kept exhaustive here because the oracle is exhaustive.
     """
     n_vecs = emb.count()
-    n_blocks = max(1, -(-n_vecs // DENSE_BLOCK))
+    n_blocks = max(1, -(-n_vecs // block_size))
     blocks = (
         emb.select("vec_id", "embedding")
         .withColumn("block", F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks)))
@@ -351,7 +395,12 @@ def embed_pairs(emb: DataFrame, threshold: float = EMBED_THRESHOLD) -> DataFrame
     tiles = (
         blocks.alias("a")
         .join(blocks.alias("b"), F.col("a.block") <= F.col("b.block"))
-        .select(F.col("a.vecs").alias("vecs_a"), F.col("b.vecs").alias("vecs_b"))
+        .select(
+            F.col("a.block").alias("block_a"),
+            F.col("b.block").alias("block_b"),
+            F.col("a.vecs").alias("vecs_a"),
+            F.col("b.vecs").alias("vecs_b"),
+        )
         .repartition(n_blocks * (n_blocks + 1) // 2)
     )
 
@@ -362,17 +411,25 @@ def embed_pairs(emb: DataFrame, threshold: float = EMBED_THRESHOLD) -> DataFrame
 
     def tile_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for vecs_a, vecs_b in zip(pdf["vecs_a"], pdf["vecs_b"]):
+            for block_a, block_b, vecs_a, vecs_b in zip(
+                pdf["block_a"], pdf["block_b"], pdf["vecs_a"], pdf["vecs_b"]
+            ):
                 ids_a, mat_a, norm_a = unpack(list(vecs_a))
                 ids_b, mat_b, norm_b = unpack(list(vecs_b))
                 # dot / (|a| * |b|) — the oracle's expression shape
                 cos = (mat_a @ mat_b.T) / (norm_a[:, None] * norm_b[None, :])
-                keep = (cos >= threshold) & (ids_a[:, None] < ids_b[None, :])
+                keep = cos >= threshold
+                # same-block: upper triangle; cross-block: every pair
+                # appears once — orient to (min, max) instead of
+                # dropping reversed-id pairs (see _dense_jaccard_pairs)
+                if block_a == block_b:
+                    keep &= ids_a[:, None] < ids_b[None, :]
                 ai, bi = np.nonzero(keep)
+                va, vb = ids_a[ai], ids_b[bi]
                 yield pd.DataFrame(
                     {
-                        "vec_a": ids_a[ai],
-                        "vec_b": ids_b[bi],
+                        "vec_a": np.minimum(va, vb),
+                        "vec_b": np.maximum(va, vb),
                         "cos": cos[ai, bi],
                     }
                 )
