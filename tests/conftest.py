@@ -42,3 +42,12 @@ def golden_tiny(transcripts_tiny) -> pd.DataFrame:
     from text_ocr_spark.oracle import golden_frame
 
     return golden_frame(transcripts_tiny)
+
+
+# Hypothesis must not draw novel examples in the driver's gate run: a
+# fresh failing example found there would flake the round. Profile keeps
+# per-test @settings overrides for examples/deadline.
+from hypothesis import settings as _hyp_settings
+
+_hyp_settings.register_profile("ci", derandomize=True)
+_hyp_settings.load_profile("ci")
