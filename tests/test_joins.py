@@ -1,0 +1,52 @@
+"""As-of join semantics + physical shape (sort-based, no pair
+explosion)."""
+
+from __future__ import annotations
+
+import re
+
+from tests.conftest import SF_TINY
+
+
+def test_asof_matches_bruteforce(spark):
+    from text_ocr_spark.ops.joins import purchases_asof_view
+
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet").collect()
+    views = {}
+    for r in ev:
+        if r.event_type == "view":
+            views.setdefault(r.user_id, []).append((r.ts, r.event_id))
+    expect = {}
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        prior = [(t, i) for t, i in views.get(r.user_id, []) if t <= r.ts]
+        if prior:
+            expect[r.event_id] = max(prior)[1]  # latest ts, then max id
+    got = {
+        r.purchase_id: r.view_id
+        for r in purchases_asof_view(spark, SF_TINY).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_asof_is_sort_based(spark):
+    """No pair-exploding join in the plan: a union + ONE exchange for
+    the per-key window, no Join node at all."""
+    from text_ocr_spark.ops.joins import purchases_asof_view
+
+    df = purchases_asof_view(spark, SF_TINY)
+    em = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = df._jdf.queryExecution().explainString(em)
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2  # window + dedupe agg
+
+
+def test_asof_lag_nonnegative(spark):
+    from text_ocr_spark.ops.joins import purchases_asof_view
+
+    rows = purchases_asof_view(spark, SF_TINY).collect()
+    assert all(r.lag_secs >= 0 for r in rows)
