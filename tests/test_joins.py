@@ -50,3 +50,42 @@ def test_asof_lag_nonnegative(spark):
 
     rows = purchases_asof_view(spark, SF_TINY).collect()
     assert all(r.lag_secs >= 0 for r in rows)
+
+
+def test_range_join_matches_bruteforce(spark):
+    from text_ocr_spark.ops.joins import purchase_error_window
+
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet").collect()
+    errors = {}
+    for r in ev:
+        if r.event_type == "error":
+            errors.setdefault(r.user_id, []).append((r.ts, r.event_id))
+    expect = set()
+    from datetime import timedelta
+
+    win = timedelta(seconds=21600)
+    for r in ev:
+        if r.event_type != "purchase":
+            continue
+        for t, eid in errors.get(r.user_id, []):
+            if r.ts - win <= t <= r.ts + win:
+                expect.add((r.event_id, eid))
+    got = {
+        (r.purchase_id, r.error_id)
+        for r in purchase_error_window(spark, SF_TINY).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_range_join_plan_is_equi_join(spark):
+    """The bucketized range join plans as a hash equi-join on
+    (key, bucket) — never a BroadcastNestedLoopJoin theta join."""
+    from text_ocr_spark.ops.joins import purchase_error_window
+
+    df = purchase_error_window(spark, SF_TINY)
+    em = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    p = df._jdf.queryExecution().explainString(em)
+    assert "NestedLoop" not in p and "CartesianProduct" not in p

@@ -96,6 +96,87 @@ def asof_join(
     )
 
 
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+) -> DataFrame:
+    """Same-key pairs with ``right_ts`` in ``[left_ts+lower_s,
+    left_ts+upper_s]`` (inclusive), without a pair-exploding theta join.
+
+    Physical strategy: bucketize time at width = window span; each left
+    row explodes to the <= 2 buckets its window can touch, right rows
+    keep their own bucket, the join runs on (key, bucket) equality —
+    Catalyst plans a plain hash join — and the exact interval predicate
+    filters after. Join fan-out is bounded by real temporal locality,
+    never |left| x |right| per key.
+
+    Right columns return with a ``right_`` prefix (except the key).
+    """
+    width = upper_s - lower_s
+    if width <= 0:
+        raise ValueError("upper_s must exceed lower_s")
+    w = F.lit(int(width))
+    lcols = [c for c in left.columns if c != on]
+    rcols = [c for c in right.columns if c != on]
+
+    # second-truncated bucketing (unix_timestamp works on NTZ and is
+    # session-TZ-proof there); whole-second bounds keep the <=2-bucket
+    # coverage property under truncation
+    lo_bucket = F.floor((F.unix_timestamp(F.col(left_ts)) + F.lit(lower_s)) / w)
+    hi_bucket = F.floor((F.unix_timestamp(F.col(left_ts)) + F.lit(upper_s)) / w)
+    l = left.withColumn(
+        "_bucket",
+        F.explode(F.array_distinct(F.array(lo_bucket, hi_bucket))),
+    )
+    r = right.select(
+        F.col(on),
+        F.floor(F.unix_timestamp(F.col(right_ts)) / w).alias("_bucket"),
+        *[F.col(c).alias(f"right_{c}") for c in rcols],
+    )
+    joined = l.join(r, [on, "_bucket"]).drop("_bucket")
+    rt = F.col(f"right_{right_ts}")
+    lt = F.col(left_ts)
+    return joined.filter(
+        (rt >= lt + F.expr(f"INTERVAL {lower_s} SECONDS"))
+        & (rt <= lt + F.expr(f"INTERVAL {upper_s} SECONDS"))
+    ).select(on, *lcols, *[f"right_{c}" for c in rcols])
+
+
+def purchase_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: error events within +-6h of each purchase, same user.
+    -> (purchase_id, error_id, user_id, delta_secs)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("error_id"), "ts"
+    )
+    j = range_join(
+        purchases,
+        errors,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        lower_s=-21600,
+        upper_s=21600,
+    )
+    return j.select(
+        "purchase_id",
+        F.col("right_error_id").alias("error_id"),
+        "user_id",
+        (F.unix_timestamp("right_ts") - F.unix_timestamp("ts")).alias(
+            "delta_secs"
+        ),
+    )
+
+
 def purchases_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """For each purchase event: the same user's most recent view event
     at or before the purchase. -> (purchase_id, user_id,
