@@ -157,6 +157,28 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical time rollup (the hypertable continuous-aggregate
+    shape): day/hour/grand-total rows in ONE pass via the native
+    rollup() operator — Catalyst expands grouping sets without
+    rescanning, map-side partials included. grouping_id disambiguates
+    aggregation levels (0=hour, 1=day, 3=total)."""
+    ev = _t(spark, sf_dir, "events")
+    d = F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d")
+    h = F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h")
+    return (
+        ev.select(d, h, "value")
+        .rollup("d", "h")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+    )
+
+
 def events_hourly_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same epoch-hour aggregation through the spark.sql string API
     (temp view + ANSI SQL text) — exercises the SQL entry surface with
