@@ -15,6 +15,7 @@ SF = "/root/testdata/sf0.001"
 
 def main() -> int:
     from text_ocr_spark.ops.dedup import minhash_dedup
+    from text_ocr_spark.ops.joins import purchase_error_window, purchases_asof_view
     from text_ocr_spark.ops.relational import q1_pricing_summary, top_revenue_customers
     from text_ocr_spark.ops.similarity import brute_topk
     from text_ocr_spark.pipeline import extract_corpus, ordered, session_builder
@@ -71,6 +72,21 @@ def main() -> int:
             "corpus never shuffles; per-query top-k via window over the "
             "scored partitions.",
             brute_topk(emb),
+        ),
+        (
+            "purchases_asof_view (sort-based as-of join)",
+            "No Join node at all: tag + union + one hash exchange for the "
+            "per-key window carrying the last right row forward. Each row "
+            "moves once; a naive theta join would materialize every "
+            "same-key (left x right) pair first.",
+            purchases_asof_view(spark, SF),
+        ),
+        (
+            "purchase_error_window (bucketized range join)",
+            "The interval predicate rides a plain hash equi-join on "
+            "(key, bucket) — left rows explode to <= 2 buckets, the exact "
+            "BETWEEN filters after. No BroadcastNestedLoopJoin.",
+            purchase_error_window(spark, SF),
         ),
         (
             "minhash_dedup (dense strategy at this corpus)",
