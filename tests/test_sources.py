@@ -72,3 +72,38 @@ def test_iceberg_gated(spark):
 
     with pytest.raises(RuntimeError, match="iceberg-spark-runtime"):
         read_transcripts_iceberg(spark, "cat.db.transcripts")
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key join WITHOUT shuffling either
+    side — the write-time co-location that a 100 TB conv_id join needs."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.pipeline import extract_corpus
+    from text_ocr_spark.sources import write_bucketed
+
+    ex = extract_corpus(spark, SF_TINY, num_partitions=4)
+    left = ex.select("conv_id", "turn_idx", "kind")
+    right = ex.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    write_bucketed(left, "bkt_left", str(tmp_path / "l"), n_buckets=8)
+    write_bucketed(right, "bkt_right", str(tmp_path / "r"), n_buckets=8)
+    try:
+        # hint("merge"): at fixture scale AQE prefers broadcasting the
+        # tiny side (which also never shuffles); force the sort-merge
+        # path to show the bucketed layout carries the join keys
+        joined = spark.table("bkt_left").hint("merge").join(
+            spark.table("bkt_right"), "conv_id"
+        )
+        em = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        p = joined._jdf.queryExecution().explainString(em)
+        assert re.search(r"\(\d+\) SortMergeJoin", p)
+        assert not re.search(r"\(\d+\) Exchange", p)  # co-located: no shuffle
+        # and the result is right
+        assert joined.count() == spark.table("bkt_left").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")

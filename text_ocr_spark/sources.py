@@ -119,6 +119,29 @@ def write_extracted(
     df.write.mode(mode).parquet(target)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    *,
+    bucket_col: str = "conv_id",
+    n_buckets: int = 16,
+) -> None:
+    """Bucketed sink: co-locates rows by key at WRITE time so every
+    downstream join/agg on that key skips its exchange (pytest asserts
+    the joined plan has no Exchange feeding the join). The file-format
+    analog of Iceberg's ``bucket(conv_id, N)`` partition transform the
+    production table would use.
+    """
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
+
+
 def _has_iceberg(spark: SparkSession) -> bool:
     try:
         spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
