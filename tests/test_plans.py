@@ -82,6 +82,29 @@ def test_jvm_only_ops_have_no_python_stage(spark):
     assert re.search(r"^\s*\S*\s*\* \w", plan_str(spark, token_stats(docs)), re.M)
 
 
+def test_resume_chunk_filter_sits_below_the_arrow_stage(spark):
+    """The chunked-resume predicate must filter the SCAN side, not the
+    extraction output: a Filter above MapInPandas re-extracts the whole
+    corpus once per chunk (round-1 defect, VERDICT r1 item 1)."""
+    from text_ocr_spark.pipeline import conv_chunk_expr, extract_corpus
+
+    df = extract_corpus(
+        spark, SF_TINY, num_partitions=8, doc_predicate=conv_chunk_expr(4) == 1
+    )
+    p = plan_str(spark, df, mode="simple")
+    # simple mode prints root-first: the Filter below the Arrow stage
+    # appears AFTER MapInPandas and holds the chunk hash expression
+    i_map = p.index("MapInPandas")
+    m = re.search(r"Filter.*xxhash64", p)
+    assert m is not None and m.start() > i_map
+    # no second Filter above the Arrow stage
+    assert not re.search(r"Filter.*xxhash64", p[:i_map])
+    # still the one-exchange / one-Arrow-stage fast path
+    fp = plan_str(spark, df)
+    assert len(re.findall(r"\(\d+\) Exchange", fp)) == 1
+    assert len(re.findall(r"\(\d+\) MapInPandas", fp)) == 1
+
+
 def test_ordered_output_is_range_partitioned(spark):
     from text_ocr_spark.pipeline import extract_corpus, ordered
 

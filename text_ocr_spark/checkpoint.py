@@ -33,7 +33,12 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from text_ocr_spark.pipeline import SALT_BUCKETS, extract_corpus, lineage_metrics
+from text_ocr_spark.pipeline import (
+    SALT_BUCKETS,
+    conv_chunk_expr,
+    extract_corpus,
+    lineage_metrics,
+)
 
 MANIFEST_DIR = "manifest"
 CHUNK_DIR = "extracted"
@@ -116,12 +121,19 @@ def resumable_extract(
         if fail_after is not None and ran >= fail_after:
             raise RuntimeError(f"injected failure after {ran} chunks")
         t0 = time.time()
+        # chunk predicate computed from doc_id on the SCAN side: each
+        # chunk's job reads, exchanges, and extracts only its own
+        # conversations. Filtering the extraction OUTPUT instead (the
+        # equivalent chunk_col(n)==cid on conv_id) would sit above the
+        # MapInPandas node, which Catalyst cannot push a predicate
+        # below — re-running the full Python extraction once per chunk.
         ex = extract_corpus(
             spark,
             sf_dir,
             salt_buckets=salt_buckets,
             num_partitions=num_partitions,
-        ).where(chunk_col(n_chunks) == cid)
+            doc_predicate=conv_chunk_expr(n_chunks) == cid,
+        )
         chunk_path = os.path.join(out_dir, CHUNK_DIR, f"chunk={cid}")
         ex.write.mode("overwrite").parquet(chunk_path)
         metrics = (

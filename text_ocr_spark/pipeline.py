@@ -311,6 +311,18 @@ _FUSED_SCHEMA = (
 )
 
 
+def conv_chunk_expr(n_chunks: int, doc_id: F.Column | None = None) -> F.Column:
+    """Deterministic conversation chunk id computed FROM doc_id — the
+    scan-side twin of checkpoint.chunk_col. Because conv_id is a pure
+    expression of doc_id, ``pmod(xxhash64(conv_id_expr(doc_id)), n)``
+    equals ``pmod(xxhash64(conv_id), n)`` on the extracted output, but
+    this form filters BEFORE the Arrow stage (Catalyst cannot push a
+    predicate below MapInPandas, so filtering the output re-extracts
+    the whole corpus per chunk)."""
+    d = F.col("doc_id") if doc_id is None else doc_id
+    return F.pmod(F.xxhash64(_conv_id_expr(d)), F.lit(n_chunks)).cast("int")
+
+
 def extract_corpus(
     spark: SparkSession,
     sf_dir: str,
@@ -318,6 +330,7 @@ def extract_corpus(
     repeat: int = 1,
     salt_buckets: int = SALT_BUCKETS,
     num_partitions: int | None = None,
+    doc_predicate: F.Column | None = None,
 ) -> DataFrame:
     """documents at sf_dir -> extracted rows; the one-exchange fast path.
 
@@ -328,8 +341,16 @@ def extract_corpus(
     Identical output to build_transcripts |> extract_transcripts
     (pytest-pinned), with half the exchanges and a minimal Arrow
     boundary: 2 columns in, none passing through.
+
+    ``doc_predicate`` (a Column over ``doc_id``/``text``) filters the
+    scan side BEFORE the exchange and Arrow stage — the hook the
+    chunked resume path uses so each chunk extracts only its own
+    conversations (on an Iceberg table bucketed by conv_id the same
+    predicate prunes data files instead of merely rows).
     """
     docs = _read_docs(spark, sf_dir, repeat)
+    if doc_predicate is not None:
+        docs = docs.where(doc_predicate)
     if salt_buckets <= 0:
         # no exchange: trust the source partitioning (an Iceberg table
         # bucketed on conv_id arrives pre-spread, skew pre-defused)
