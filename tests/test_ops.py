@@ -232,3 +232,54 @@ def test_dense_tiles_multiblock_regression(spark, docs, emb):
         for r in embed_pairs(emb, block_size=64).collect()
     }
     assert multi_e == single and len(single) > 0
+
+
+def test_neardup_resolve_matches_union_find(spark, docs):
+    """Distributed min-label propagation == a driver-side union-find over
+    the same pair graph (independent differential), and the resolve
+    output mirrors exact_dedup's keep semantics for near-dups."""
+    from text_ocr_spark.ops.dedup import minhash_dedup, resolve_pairs
+
+    pairs = minhash_dedup(docs, 0.95)
+    got = {
+        r.doc_id: (r.cluster_id, r.keep_id, r.is_dup)
+        for r in resolve_pairs(docs, pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(r.doc_a), find(r.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for v in parent:
+        root = find(v)
+        comp_min[root] = min(comp_min.get(root, v), v)
+    all_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    want = {}
+    for v in all_ids:
+        keep = comp_min[find(v)] if v in parent else v
+        want[v] = (keep, keep, int(v != keep))
+    assert got == want
+    assert sum(v[2] for v in got.values()) > 0  # corpus has near-dups
+
+
+def test_resolve_pairs_transitive_chain(spark):
+    """A--B and B--C (no direct A--C pair) must land in ONE cluster —
+    the transitivity that pair output alone cannot express."""
+    from text_ocr_spark.ops.dedup import resolve_pairs
+
+    docs = spark.createDataFrame([(1,), (2,), (3,), (9,)], "doc_id long")
+    pairs = spark.createDataFrame([(2, 3), (1, 2)], "doc_a long, doc_b long")
+    got = {
+        r.doc_id: (r.cluster_id, r.is_dup)
+        for r in resolve_pairs(docs, pairs).collect()
+    }
+    assert got == {1: (1, 0), 2: (1, 1), 3: (1, 1), 9: (9, 0)}

@@ -360,6 +360,76 @@ def minhash_dedup(
 
 
 # --------------------------------------------------------------------------
+# near-dup cluster resolution (pairs -> keep/drop decision)
+# --------------------------------------------------------------------------
+
+def resolve_pairs(
+    docs: DataFrame, pairs: DataFrame, *, max_iters: int = 50
+) -> DataFrame:
+    """Connected components over a near-dup pair graph -> per-doc verdict.
+
+    -> (doc_id, cluster_id, keep_id, is_dup): cluster_id = keep_id = the
+    min doc_id of the component; is_dup = doc_id != keep_id. Singleton
+    docs (no near-dup pair) keep themselves. This is the near-dup twin of
+    exact_dedup's keep decision — pairs alone don't dedup a corpus.
+
+    Distributed min-label propagation, no driver-side collect: each
+    round every node takes the min of its own label and its neighbors'
+    labels (one hash join + one groupBy-min per round), converging in
+    O(graph diameter) rounds; the driver only reads a changed-count
+    aggregate to detect the fixed point. Near-dup graphs at threshold
+    >= 0.9 are overwhelmingly tiny cliques (diameter 1-2), so rounds
+    stay low; localCheckpoint cuts the lineage per round (swap for
+    reliable checkpoint dirs on a real cluster).
+    """
+    edges = pairs.select("doc_a", "doc_b")
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()  # materialized once, probed every round
+    )
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("lbl")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        msgs = sym.join(
+            labels.withColumnRenamed("doc_id", "src"), "src"
+        ).select(F.col("dst").alias("doc_id"), "lbl")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("doc_id")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        "doc_id",
+        F.col("lbl").alias("cluster_id"),
+        F.col("lbl").alias("keep_id"),
+        (F.col("doc_id") != F.col("lbl")).cast("int").alias("is_dup"),
+    )
+
+
+def neardup_resolve(
+    docs: DataFrame,
+    threshold: float = 0.95,
+    dense_vocab_limit: int = DENSE_VOCAB_LIMIT,
+) -> DataFrame:
+    """minhash_dedup pairs -> connected components -> keep/drop per doc."""
+    return resolve_pairs(docs, minhash_dedup(docs, threshold, dense_vocab_limit))
+
+
+# --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
 
