@@ -1,0 +1,223 @@
+"""Generate committed golden fixtures for the ops whose oracles are not
+SQL-expressible (blake2b-seeded LSH / simhash / decode stubs). Pure
+Python + numpy over the driver's parquet tables — no Spark involved, so
+these are genuine independent differential oracles (same published spec,
+separate implementation), exactly like scripts/gen_golden.py does for the
+extraction pipeline.
+
+    python scripts/gen_op_golden.py [sf0.01 ...]
+
+Writes, per sf:
+  fixturedata/golden_simhash_<sf>.parquet        (doc_a, doc_b, hamming)
+  fixturedata/golden_knn_lsh_<sf>.parquet        (query_id, rank, neighbor_id)
+  fixturedata/golden_media_features_<sf>.parquet (doc_id, media_type,
+      n_bytes, width, height, feat_mean, feat_dim)
+
+Floating-point discipline: cosines are computed as a LEFT-TO-RIGHT
+sequential double fold over the array (acc += float64(a_i)*float64(b_i)),
+the exact operation order of Spark's F.aggregate fold in
+similarity.cosine_col — IEEE doubles make the two implementations
+bit-identical, so integer rank outputs can be hash-compared.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+from collections import Counter
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SIMHASH_BITS = 64
+LSH_TABLES = 8
+LSH_PLANES = 4
+N_QUERIES = 10
+TOP_K = 5
+
+
+# --------------------------------------------------------------------------
+# simhash (spec: ops/dedup.py _simhash — blake2b token hashes, count weights)
+# --------------------------------------------------------------------------
+
+def simhash(text: str) -> int:
+    toks = (text or "").split()
+    if not toks:
+        return 0
+    acc = [0] * SIMHASH_BITS
+    for tok, cnt in Counter(toks).items():
+        hv = int.from_bytes(
+            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+        )
+        for i in range(SIMHASH_BITS):
+            acc[i] += cnt if (hv >> i) & 1 else -cnt
+    out = 0
+    for i in range(SIMHASH_BITS):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def golden_simhash(docs: pd.DataFrame, radius: int = 3) -> pd.DataFrame:
+    """ALL-pairs hamming scan (the banded join is exact at radius<=3 by
+    pigeonhole, so the exhaustive scan is its ground truth)."""
+    ids = docs["doc_id"].to_numpy()
+    sh = np.array(
+        [simhash(t) for t in docs["text"]], dtype=np.uint64
+    )
+    xa, xb, hd = [], [], []
+    for i in range(len(ids)):
+        ham = np.bitwise_xor(sh[i], sh[i + 1 :])
+        counts = np.array([bin(int(x)).count("1") for x in ham])
+        for j in np.nonzero(counts <= radius)[0]:
+            xa.append(int(ids[i]))
+            xb.append(int(ids[i + 1 + j]))
+            hd.append(int(counts[j]))
+    out = pd.DataFrame({"doc_a": xa, "doc_b": xb, "hamming": hd})
+    # orient to (min, max) and sort like the contract query
+    a = out[["doc_a", "doc_b"]].min(axis=1)
+    b = out[["doc_a", "doc_b"]].max(axis=1)
+    out["doc_a"], out["doc_b"] = a, b
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# --------------------------------------------------------------------------
+# sign-random-projection LSH top-k (spec: ops/similarity.py)
+# --------------------------------------------------------------------------
+
+def hyperplanes(dim: int, n: int) -> np.ndarray:
+    planes = np.empty((n, dim), dtype=np.float64)
+    for i in range(n):
+        d = hashlib.blake2b(
+            f"plane:{i}".encode(), digest_size=dim // 8 + 1
+        ).digest()
+        bits = np.unpackbits(np.frombuffer(d, dtype=np.uint8))[:dim]
+        planes[i] = np.where(bits == 1, 1.0, -1.0)
+    return planes
+
+
+def seq_cosine(a: list[float], b: list[float]) -> float:
+    """Left-to-right double fold — Spark's F.aggregate operation order."""
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+    for x in a:
+        na += x * x
+    for y in b:
+        nb += y * y
+    return dot / (math.sqrt(na) * math.sqrt(nb))
+
+
+def golden_knn_lsh(emb: pd.DataFrame) -> pd.DataFrame:
+    ids = emb["vec_id"].to_numpy()
+    # float32 storage cast element-wise to float64, like Spark's
+    # x.cast('double') inside the fold
+    vecs = {
+        int(i): [float(np.float32(v)) for v in e]
+        for i, e in zip(ids, emb["embedding"])
+    }
+    mat = np.array([vecs[int(i)] for i in ids], dtype=np.float64)
+    planes = hyperplanes(mat.shape[1], LSH_TABLES * LSH_PLANES)
+    signs = (mat @ planes.T) > 0
+    buckets = {}
+    for t in range(LSH_TABLES):
+        seg = signs[:, t * LSH_PLANES : (t + 1) * LSH_PLANES]
+        buckets[t] = (seg.astype(np.int64) << np.arange(LSH_PLANES)).sum(axis=1)
+    pos = {int(i): k for k, i in enumerate(ids)}
+    rows = []
+    for q in sorted(i for i in vecs if i < N_QUERIES):
+        cands = set()
+        for t in range(LSH_TABLES):
+            qb = buckets[t][pos[q]]
+            for j, i in enumerate(ids):
+                if i >= N_QUERIES and buckets[t][j] == qb:
+                    cands.add(int(i))
+        scored = sorted(
+            ((seq_cosine(vecs[q], vecs[c]), c) for c in cands),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for rank, (_, c) in enumerate(scored[:TOP_K], start=1):
+            rows.append((q, rank, c))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id"])
+
+
+# --------------------------------------------------------------------------
+# multimodal feature stub (spec: ops/multimodal.py _fake_feature)
+# --------------------------------------------------------------------------
+
+def golden_media_features(docs: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        payload = (text or "").encode("utf-8")
+        media_type = ["image/png", "audio/wav", "video/mp4"][int(doc_id) % 3]
+        d = hashlib.blake2b(payload, digest_size=8).digest()
+        w = 64 + d[0] % 192
+        h = 64 + d[1] % 192
+        arr = np.frombuffer(payload[:4096], dtype=np.uint8)
+        mean = round(float(arr.mean()), 6) if arr.size else 0.0
+        rows.append((int(doc_id), media_type, len(payload), w, h, mean, 16))
+    return pd.DataFrame(
+        rows,
+        columns=[
+            "doc_id", "media_type", "n_bytes", "width", "height",
+            "feat_mean", "feat_dim",
+        ],
+    )
+
+
+def _write(df: pd.DataFrame, schema: pa.Schema, path: str) -> None:
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=schema, preserve_index=False), path
+    )
+    print(f"{path}: {len(df)} rows")
+
+
+def main(sfs: list[str]) -> None:
+    for sf in sfs:
+        t0 = time.time()
+        docs = duckdb.sql(
+            f"SELECT doc_id, text FROM read_parquet('/root/testdata/{sf}/documents.parquet')"
+            " ORDER BY doc_id"
+        ).df()
+        emb = duckdb.sql(
+            f"SELECT vec_id, embedding FROM read_parquet('/root/testdata/{sf}/embeddings.parquet')"
+            " ORDER BY vec_id"
+        ).df()
+        _write(
+            golden_simhash(docs),
+            pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int32())]
+            ),
+            f"fixturedata/golden_simhash_{sf}.parquet",
+        )
+        _write(
+            golden_knn_lsh(emb),
+            pa.schema(
+                [("query_id", pa.int64()), ("rank", pa.int32()), ("neighbor_id", pa.int64())]
+            ),
+            f"fixturedata/golden_knn_lsh_{sf}.parquet",
+        )
+        _write(
+            golden_media_features(docs),
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()), ("media_type", pa.string()),
+                    ("n_bytes", pa.int64()), ("width", pa.int32()),
+                    ("height", pa.int32()), ("feat_mean", pa.float64()),
+                    ("feat_dim", pa.int32()),
+                ]
+            ),
+            f"fixturedata/golden_media_features_{sf}.parquet",
+        )
+        print(f"{sf} done in {time.time() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:] or ["sf0.01"])
