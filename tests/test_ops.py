@@ -212,7 +212,7 @@ def test_dense_tiles_multiblock_regression(spark, docs, emb):
         jaccard_pairs,
     )
 
-    vocab = _probe_small_vocab(docs, 4096)
+    vocab, n_docs = _probe_small_vocab(docs, 4096)
     assert vocab is not None
     exact = {
         (r.doc_a, r.doc_b, r.jaccard)
@@ -220,7 +220,7 @@ def test_dense_tiles_multiblock_regression(spark, docs, emb):
     }
     multi = {
         (r.doc_a, r.doc_b, r.jaccard)
-        for r in _dense_jaccard_pairs(docs, 0.95, vocab, block_size=64).collect()
+        for r in _dense_jaccard_pairs(docs, 0.95, vocab, n_docs, block_size=64).collect()
     }
     assert multi == exact
 
@@ -283,3 +283,54 @@ def test_resolve_pairs_transitive_chain(spark):
         for r in resolve_pairs(docs, pairs).collect()
     }
     assert got == {1: (1, 0), 2: (1, 1), 3: (1, 1), 9: (9, 0)}
+
+
+def test_embed_prefilter_matches_exhaustive(spark, emb):
+    """LSH candidate-block tile enumeration loses nothing on the real
+    corpus (forced small blocks so the prefilter actually routes)."""
+    from text_ocr_spark.ops.dedup import embed_pairs
+
+    exhaustive = {
+        (r.vec_a, r.vec_b, r.cos)
+        for r in embed_pairs(emb, block_size=64, prefilter=False).collect()
+    }
+    pre = {
+        (r.vec_a, r.vec_b, r.cos)
+        for r in embed_pairs(emb, block_size=64, prefilter=True).collect()
+    }
+    assert pre == exhaustive
+    assert len(exhaustive) > 0
+
+
+def test_embed_prefilter_prunes_antipodal_blocks(spark):
+    """Antipodal vectors agree with NO sign-random-projection plane, so
+    their (singleton) blocks never share a bucket: the candidate join
+    must enumerate fewer than the blanket B(B+1)/2 tiles, and the pair
+    output is still exact (antipodal cos = -1 is below any threshold)."""
+    import pandas as pd
+
+    from text_ocr_spark.ops.dedup import _candidate_block_pairs, embed_pairs
+    from pyspark.sql import functions as F
+
+    base = [1.0, -2.0, 0.5, 3.0] * 16  # dim 64, no zero plane dots
+    rows = [(i, [x if i % 2 == 0 else -x for x in base]) for i in range(8)]
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [r[0] for r in rows],
+                      "embedding": [r[1] for r in rows]})
+    ).select("vec_id", F.col("embedding").cast("array<float>").alias("embedding"))
+    n_blocks = 8  # block_size=1 -> singleton blocks
+    cand = _candidate_block_pairs(
+        emb, F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks))
+    ).count()
+    assert cand < n_blocks * (n_blocks + 1) // 2
+    pre = {
+        (r.vec_a, r.vec_b)
+        for r in embed_pairs(emb, threshold=0.35, block_size=1, prefilter=True).collect()
+    }
+    ex = {
+        (r.vec_a, r.vec_b)
+        for r in embed_pairs(emb, threshold=0.35, block_size=1, prefilter=False).collect()
+    }
+    assert pre == ex
+    # same-sign pairs all have cos = 1: 4+4 vectors -> 6+6 pairs
+    assert len(ex) == 12
