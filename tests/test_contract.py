@@ -71,11 +71,8 @@ def test_every_query_has_oracle_or_reason():
 
     qs, os_ = set(e.queries()), set(e.oracle_sql())
     assert os_ <= qs
-    # rows-only exceptions are exactly the approximate/stub-backed ops
-    assert qs - os_ == {
-        "dedup_simhash", "knn_ivf", "knn_lsh", "multimodal_features",
-        "multimodal_resize",
-    }
+    # since r2 every registered query carries an exact oracle
+    assert qs - os_ == set()
 
 
 @pytest.mark.parametrize("name", SUBSET)

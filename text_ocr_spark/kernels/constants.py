@@ -43,6 +43,20 @@ LEVEL_C: tuple[float, ...] = tuple(
 #: {0:hengdao,1:hengzhen,2:shudao,3:shuzhen} -> {html,pdf,ocr,plain}+empty)
 KINDS: tuple[str, ...] = ("html", "pdf", "ocr", "plain", "empty")
 
+# --- B2 analog: bounded analysis size -------------------------------------
+#: The reference bounds EVERY input before analysis (resize_img long-side
+#: 640, ocrcvlib/src/main/cpp/jni/ocr.cpp:77-102, call with 640 at
+#: ocrcvlib/src/main/cpp/jni/main.cpp:36). The graft's analog: payloads
+#: longer than MAX_ANALYSIS_CHARS are analyzed in bounded windows and
+#: stitched back by raw offset, so one pathological multi-GB turn can
+#: never occupy a Python worker with an unbounded allocation. Like the
+#: resize, windowing is lossy only at window boundaries (a block cut in
+#: half is analyzed as two blocks); the cut prefers a newline to minimize
+#: that.
+MAX_ANALYSIS_CHARS: int = 1 << 20
+#: how far back from a hard cut to search for a newline/space boundary
+WINDOW_BOUNDARY_SEARCH: int = 4096
+
 # --- PDF layout-parser geometry constants (D-family analog) ---------------
 #: new text line when |y - line_y_mean| > LINE_Y_TOL * median glyph height
 PDF_LINE_Y_TOL: float = 0.5

@@ -15,6 +15,10 @@ from __future__ import annotations
 import re
 
 from text_ocr_spark.kernels.classify import classify_payload
+from text_ocr_spark.kernels.constants import (
+    MAX_ANALYSIS_CHARS,
+    WINDOW_BOUNDARY_SEARCH,
+)
 from text_ocr_spark.kernels.html import extract_html
 from text_ocr_spark.kernels.normalize import normalize_text
 from text_ocr_spark.kernels.ocr_dump import extract_ocr
@@ -44,14 +48,85 @@ _EXTRACTORS = {
 }
 
 
+def window_bounds(
+    n: int, max_chars: int, text: str, search: int = WINDOW_BOUNDARY_SEARCH
+) -> list[tuple[int, int]]:
+    """Deterministic analysis windows covering [0, n).
+
+    Cuts at the last newline (else last whitespace) within ``search``
+    chars of the hard limit, so windows respect block boundaries where
+    one exists; a boundary-free stretch gets a hard cut at max_chars.
+    Every window is <= max_chars long and non-empty.
+    """
+    bounds: list[tuple[int, int]] = []
+    start = 0
+    while n - start > max_chars:
+        hard = start + max_chars
+        lo = max(start + 1, hard - search)
+        cut = text.rfind("\n", lo, hard)
+        if cut < lo:
+            for m in re.finditer(r"\s", text[lo:hard]):
+                cut = lo + m.start()
+        if cut < lo:
+            cut = hard
+        else:
+            cut += 1  # the boundary char stays with the left window
+        bounds.append((start, cut))
+        start = cut
+    bounds.append((start, n))
+    return bounds
+
+
+#: D6 analog — the reference's detCvlib grows every crop box by 15% of
+#: its size before cropping (ocrcvlib/src/main/cpp/jni/ocr.cpp:411-414);
+#: its ocrlib twin does NOT pad, which is why the graft default is off.
+SPAN_PAD_FRAC = 0.15
+
+
+def pad_spans(
+    spans: list[tuple[int, int]], n: int, pad_frac: float
+) -> list[tuple[int, int]]:
+    """Grow each span by ``int(len * pad_frac)`` context chars per side
+    (the reference's truncating int math), clamped to [0, n]; re-sorted
+    so the sorted-by-start invariant survives unequal growth."""
+    if pad_frac <= 0:
+        return spans
+    out = []
+    for s, e in spans:
+        grow = int((e - s) * pad_frac)
+        out.append((max(0, s - grow), min(n, e + grow)))
+    return sorted(out)
+
+
 def extract_payload(
-    text: str | None, tool: str | None = None
+    text: str | None,
+    tool: str | None = None,
+    max_chars: int = MAX_ANALYSIS_CHARS,
+    pad_frac: float = 0.0,
 ) -> tuple[str, str, list[tuple[int, int]]]:
     """(text, tool) -> (kind, extracted, spans). Total: never raises on
-    well-typed input; null/empty payloads yield ('empty', '', [])."""
+    well-typed input; null/empty payloads yield ('empty', '', []).
+
+    Payloads longer than ``max_chars`` take the B2 bounded-analysis path
+    (ref resize_img long-side 640, ocrcvlib/src/main/cpp/jni/ocr.cpp:
+    77-102): each window is extracted independently, window spans shift
+    by the window's raw offset (spans ALWAYS index the raw payload), and
+    window texts join with the extractors' own block separator. Bounded
+    per-task memory at the cost of boundary effects only — a payload
+    <= max_chars is byte-identical to the unwindowed result.
+    """
     kind = classify_payload(text, tool)
     if kind == "empty":
         return kind, "", []
     assert text is not None
+    if max_chars and len(text) > max_chars:
+        pieces: list[str] = []
+        spans: list[tuple[int, int]] = []
+        for s, e in window_bounds(len(text), max_chars, text):
+            ext_w, spans_w = _EXTRACTORS[kind](text[s:e])
+            if ext_w:
+                pieces.append(ext_w)
+                spans.extend((s + a, s + b) for a, b in spans_w)
+        return kind, "\n".join(pieces), pad_spans(spans, len(text), pad_frac)
     extracted, spans = _EXTRACTORS[kind](text)
-    return kind, extracted, spans
+    return kind, extracted, pad_spans(spans, len(text), pad_frac)
