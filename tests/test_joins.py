@@ -89,3 +89,27 @@ def test_range_join_plan_is_equi_join(spark):
     )
     p = df._jdf.queryExecution().explainString(em)
     assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_asof_carries_matched_row_atomically(spark):
+    """A NULL payload field in the matched (latest prior) right row must
+    come back NULL — never backfilled from an older right row
+    (per-column last(ignorenulls) franken-row, ADVICE r1)."""
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 100, "L1")], "k string, ts long, lv string"
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 1, "old-value"), ("u1", 50, 2, None)],
+        "k string, ts long, rid int, payload string",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", right_tiebreak="rid"
+    ).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.right_ts == 50 and row.right_rid == 2
+    assert row.right_payload is None  # NOT "old-value"

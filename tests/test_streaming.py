@@ -85,3 +85,25 @@ def test_windowed_turn_rates(spark, tmp_path):
     assert gk <= wk
     assert len(gk) >= len(wk) - 3
     assert got.agg(F.sum("n_turns")).first()[0] > 0
+
+
+def test_epoch_write_is_idempotent(spark, tmp_path):
+    """Replaying a micro-batch (same epoch_id) must replace, not
+    duplicate — the checkpoint-retry failure path."""
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.streaming import write_epoch
+
+    out_dir = str(tmp_path / "sink")
+    df = spark.range(10).select(
+        F.col("id"), F.lit(0).alias("epoch_id")
+    )
+    write_epoch(df, out_dir)
+    write_epoch(df, out_dir)  # the retry
+    assert spark.read.parquet(out_dir).count() == 10
+    # a NEW epoch appends rather than clobbering earlier epochs
+    write_epoch(
+        spark.range(5).select(F.col("id"), F.lit(1).alias("epoch_id")),
+        out_dir,
+    )
+    assert spark.read.parquet(out_dir).count() == 15

@@ -36,7 +36,16 @@ def asof_join(
     matching DuckDB's ASOF JOIN).
 
     Right columns come back with a ``right_`` prefix (except the key).
+
+    The matched right row is carried ATOMICALLY: one
+    ``last(struct(<right cols>), ignorenulls=True)`` over the window,
+    unpacked after. Carrying each right column through its own
+    last(ignorenulls) would backfill a NULL payload field from an OLDER
+    right row — a silent franken-row for nullable right columns
+    (ADVICE r1).
     """
+    from pyspark.sql.types import StructType
+
     lcols = [c for c in left.columns if c not in (on, left_ts)]
     rcols = [c for c in right.columns if c != on]
     # dedupe right to one row per (key, ts): max tiebreak wins, and the
@@ -57,19 +66,20 @@ def asof_join(
             *[F.col(f"_packed.{c}").alias(c) for c in others],
         )
     )
+    r_struct_type = StructType([right.schema[c] for c in rcols])
     tagged_l = left.select(
         F.col(on),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"right_{c}") for c in rcols],
+        F.lit(None).cast(r_struct_type).alias("_r"),
     )
     tagged_r = r_latest.select(
         F.col(on),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"right_{c}") for c in rcols],
+        F.struct(*[F.col(c) for c in rcols]).alias("_r"),
     )
     u = tagged_l.unionByName(tagged_r)
     # right rows sort before left rows at equal ts: "at or before"
@@ -83,16 +93,17 @@ def asof_join(
         "_ts",
         "_side",
         *lcols,
-        *[
-            F.last(f"right_{c}", ignorenulls=True).over(w).alias(f"right_{c}")
-            for c in rcols
-        ],
+        F.last("_r", ignorenulls=True).over(w).alias("_r"),
     )
     return (
         carried.filter(F.col("_side") == 1)
-        .filter(F.col(f"right_{right_ts}").isNotNull())
-        .drop("_side")
-        .withColumnRenamed("_ts", left_ts)
+        .filter(F.col("_r").isNotNull())
+        .select(
+            on,
+            F.col("_ts").alias(left_ts),
+            *lcols,
+            *[F.col(f"_r.{c}").alias(f"right_{c}") for c in rcols],
+        )
     )
 
 

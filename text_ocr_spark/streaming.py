@@ -17,6 +17,10 @@ ocrlib/src/main/cpp/jni/main.cpp:51-70). The graft mirrors that shape:
   reference has no event-time aggregation at all (each frame stands
   alone), so this is a graft extension, kept windowed + watermarked the
   idiomatic Structured Streaming way.
+
+The batch sink is idempotent PER EPOCH (write_epoch): epoch-partitioned
+dynamic overwrite, so checkpoint-replayed micro-batches never duplicate
+rows even on the plain parquet sink.
 """
 
 from __future__ import annotations
@@ -64,7 +68,7 @@ def stream_extract(
         out = extract_transcripts(
             batch_df, salt_buckets=salt_buckets, num_partitions=num_partitions
         ).withColumn("epoch_id", F.lit(epoch_id))
-        out.write.mode("append").parquet(out_dir)
+        write_epoch(out, out_dir)
 
     writer = (
         read_transcript_stream(spark, input_dir)
@@ -74,6 +78,22 @@ def stream_extract(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def write_epoch(out: DataFrame, out_dir: str) -> None:
+    """Idempotent-per-epoch parquet sink: the output partitions on
+    epoch_id and each write dynamically OVERWRITES only its own epoch
+    partition, so a micro-batch retried from the stream checkpoint
+    (failure after write, before commit) replaces its rows instead of
+    duplicating them — foreachBatch's exactly-once recipe for
+    non-transactional sinks. On an Iceberg sink the same property comes
+    from a MERGE/replaceWhere on epoch_id."""
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch_id")
+        .parquet(out_dir)
+    )
 
 
 def turn_rates(df: DataFrame) -> DataFrame:
