@@ -334,3 +334,36 @@ def test_embed_prefilter_prunes_antipodal_blocks(spark):
     assert pre == ex
     # same-sign pairs all have cos = 1: 4+4 vectors -> 6+6 pairs
     assert len(ex) == 12
+
+
+def test_embed_resolve_clusters_embed_pairs(spark, emb):
+    """Cluster verdicts agree with a driver-side union-find over the
+    exact embed pair graph."""
+    from text_ocr_spark.ops.dedup import embed_pairs, embed_resolve
+
+    pairs = [(r.vec_a, r.vec_b) for r in embed_pairs(emb).collect()]
+    got = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in embed_resolve(emb).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots: dict[int, int] = {}
+    for v in parent:
+        r = find(v)
+        roots[r] = min(roots.get(r, v), v)
+    for r_ in emb.select("vec_id").collect():
+        v = r_.vec_id
+        keep = roots[find(v)] if v in parent else v
+        assert got[v] == (keep, int(v != keep))

@@ -447,6 +447,20 @@ def neardup_resolve(
     return resolve_pairs(docs, minhash_dedup(docs, threshold, dense_vocab_limit))
 
 
+def embed_resolve(emb: DataFrame, threshold: float | None = None) -> DataFrame:
+    """Embedding-cosine near-dup clusters: embed_pairs -> connected
+    components -> (vec_id, cluster_id, keep_id, is_dup) — the keep/drop
+    decision for the embedding modality, same resolution machinery."""
+    thr = EMBED_THRESHOLD if threshold is None else threshold
+    pairs = embed_pairs(emb, thr).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    return resolve_pairs(nodes, pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "keep_id", "is_dup"
+    )
+
+
 # --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
