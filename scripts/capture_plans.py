@@ -14,11 +14,16 @@ SF = "/root/testdata/sf0.001"
 
 
 def main() -> int:
-    from text_ocr_spark.ops.dedup import minhash_dedup
+    from text_ocr_spark.ops.dedup import embed_pairs, minhash_dedup
     from text_ocr_spark.ops.joins import purchase_error_window, purchases_asof_view
     from text_ocr_spark.ops.relational import q1_pricing_summary, top_revenue_customers
     from text_ocr_spark.ops.similarity import brute_topk
-    from text_ocr_spark.pipeline import extract_corpus, ordered, session_builder
+    from text_ocr_spark.pipeline import (
+        conv_chunk_expr,
+        extract_corpus,
+        ordered,
+        session_builder,
+    )
 
     spark = session_builder(master="local[4]", app="plans").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -87,6 +92,29 @@ def main() -> int:
             "(key, bucket) — left rows explode to <= 2 buckets, the exact "
             "BETWEEN filters after. No BroadcastNestedLoopJoin.",
             purchase_error_window(spark, SF),
+        ),
+        (
+            "resumable chunk extraction (scan-side chunk predicate)",
+            "The chunk filter (pmod(xxhash64(conv_id-expr(doc_id)), n) = "
+            "cid) sits BELOW the Arrow stage, directly on the scan output "
+            "— each chunk reads, exchanges, and extracts only its own "
+            "conversations. Round 1 filtered the extraction OUTPUT, which "
+            "Catalyst cannot push below MapInPandas, so every chunk "
+            "re-extracted the whole corpus. On an Iceberg table bucketed "
+            "by conv_id the same predicate prunes data files.",
+            extract_corpus(
+                spark, SF, num_partitions=8, doc_predicate=conv_chunk_expr(8) == 3
+            ),
+        ),
+        (
+            "embed_pairs with LSH candidate-block prefilter",
+            "Tile enumeration bounded by the sign-random-projection "
+            "candidate-block join: the per-(block, table, bucket) distinct "
+            "set self-joins on (table, bucket), broadcasts, and only "
+            "colliding block pairs become GEMM tiles — the blanket "
+            "B(B+1)/2 cross join disappears above EXHAUSTIVE_BLOCK_LIMIT "
+            "blocks.",
+            embed_pairs(emb, block_size=64, prefilter=True),
         ),
         (
             "minhash_dedup (dense strategy at this corpus)",
