@@ -51,3 +51,9 @@ from hypothesis import settings as _hyp_settings
 
 _hyp_settings.register_profile("ci", derandomize=True)
 _hyp_settings.load_profile("ci")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: spins a local-cluster mini-cluster (~1 min)"
+    )
