@@ -27,17 +27,34 @@ from text_ocr_spark.kernels.pdf import extract_pdf
 _NONWS_RE = re.compile(r"\S")
 
 
+def _last_nonws_end(payload: str) -> int | None:
+    """End offset of the LAST \\S match — backward chunked scan, so the
+    cost is O(trailing whitespace), not one match object per non-ws char
+    (the full finditer sweep was ~7% of total kernel time). Exact-equal
+    to the old full sweep: same regex, no copies (finditer slices by
+    position)."""
+    n = len(payload)
+    pos = n
+    while pos > 0:
+        lo = max(0, pos - 4096)
+        m = None
+        for m in _NONWS_RE.finditer(payload, lo, pos):
+            pass
+        if m is not None:
+            return m.end()
+        pos = lo
+    return None
+
+
 def extract_plain(payload: str) -> tuple[str, list[tuple[int, int]]]:
     """Identity extraction: whitespace normalization only (E7 'plain' route)."""
     extracted = normalize_text(payload)
     if not extracted:
         return "", []
     first = _NONWS_RE.search(payload)
-    last = None
-    for last in _NONWS_RE.finditer(payload):
-        pass
-    assert first is not None and last is not None
-    return extracted, [(first.start(), last.end())]
+    last_end = _last_nonws_end(payload)
+    assert first is not None and last_end is not None
+    return extracted, [(first.start(), last_end)]
 
 
 _EXTRACTORS = {

@@ -22,6 +22,7 @@ Pinned semantics:
 
 from __future__ import annotations
 
+import operator
 import re
 from dataclasses import dataclass, field
 from typing import NamedTuple
@@ -93,13 +94,20 @@ class Block:
 
 
 def parse_glyphs(payload: str) -> list[Glyph]:
-    return [
-        Glyph(
-            float(m[1]), float(m[2]), float(m[3]), float(m[4]), m[5],
-            m.start(), m.end(),
-        )
-        for m in _GLYPH_RE.finditer(payload)
-    ]
+    # one group(1..5) call per match instead of five __getitem__ C-API
+    # roundtrips — this loop is the PDF parse hot spot
+    out: list[Glyph] = []
+    ap = out.append
+    for m in _GLYPH_RE.finditer(payload):
+        x, y, w, h, ch = m.group(1, 2, 3, 4, 5)
+        ap(Glyph(float(x), float(y), float(w), float(h), ch, m.start(), m.end()))
+    return out
+
+
+# C-level sort keys (attrgetter beats a Python lambda per element; the
+# orderings are identical tuples)
+_YXS_KEY = operator.attrgetter("y", "x", "start")
+_XS_KEY = operator.attrgetter("x", "start")
 
 
 def _median(vals: list[float]) -> float:
@@ -117,7 +125,7 @@ def _cluster_lines(glyphs: list[Glyph], h_med: float, w_med: float) -> list[Line
     groups: list[list[Glyph]] = []
     cur: list[Glyph] = []
     cur_y_sum = 0.0
-    for g in sorted(glyphs, key=lambda g: (g.y, g.x, g.start)):
+    for g in sorted(glyphs, key=_YXS_KEY):
         if cur and abs(g.y - cur_y_sum / len(cur)) <= y_tol:
             cur.append(g)
             cur_y_sum += g.y
@@ -133,7 +141,7 @@ def _cluster_lines(glyphs: list[Glyph], h_med: float, w_med: float) -> list[Line
     col_gap = PDF_COL_GAP * w_med
     out: list[Line] = []
     for grp in groups:
-        grp.sort(key=lambda g: (g.x, g.start))
+        grp.sort(key=_XS_KEY)
         seg: list[Glyph] = []
         seg_y = 0.0
         prev_end = None
