@@ -107,3 +107,43 @@ def test_epoch_write_is_idempotent(spark, tmp_path):
         out_dir,
     )
     assert spark.read.parquet(out_dir).count() == 15
+
+
+def test_conversation_state_persists_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state must carry between micro-batches —
+    a conversation split across batches emits increasing snapshots whose
+    LAST value equals the batch ground truth."""
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.pipeline import build_transcripts
+    from text_ocr_spark.streaming import conversation_state_stream
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    tr = build_transcripts(spark, "/root/testdata/sf0.001")
+    # 16 files with maxFilesPerTrigger=8 -> at least 2 micro-batches
+    tr.repartition(16).write.mode("overwrite").parquet(src)
+    q = conversation_state_stream(spark, src, out, ckpt)
+    q.awaitTermination(300)
+
+    snap = spark.read.parquet(out)
+    final = (
+        snap.groupBy("conv_id")
+        .agg(
+            F.max("n_turns").alias("n_turns"),
+            F.max("sum_chars").alias("sum_chars"),
+            F.count("*").alias("n_snapshots"),
+        )
+    )
+    truth = tr.groupBy("conv_id").agg(
+        F.count("*").alias("t_turns"),
+        F.sum(F.length("text")).alias("t_chars"),
+    )
+    j = final.join(truth, "conv_id").collect()
+    assert len(j) == 51  # every conversation surfaced
+    for r in j:
+        assert r.n_turns == r.t_turns, r
+        assert r.sum_chars == r.t_chars, r
+    # state actually crossed a batch boundary for at least one conv
+    assert any(r.n_snapshots >= 2 for r in j)

@@ -114,6 +114,64 @@ def turn_rates(df: DataFrame) -> DataFrame:
     )
 
 
+def conversation_state_stream(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Custom stateful operator: per-conversation running totals carried
+    ACROSS micro-batches with applyInPandasWithState (the graft's
+    arbitrary-stateful surface — windowed aggs can't express "running
+    snapshot per key, emitted every batch").
+
+    State per conv_id: (turns seen so far, payload chars seen so far).
+    Each micro-batch emits one snapshot row per updated conversation, so
+    the sink accumulates a progress ledger; the LAST snapshot per key
+    equals the batch ground truth (pytest-pinned). At scale state lives
+    in the state store keyed by conv_id — the same partitioning as the
+    extraction exchange, no extra skew surface.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(
+        key: tuple, pdfs: "object", state: GroupState
+    ):
+        (conv_id,) = key
+        n, chars = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            chars += int(pdf["text"].str.len().fillna(0).sum())
+        state.update((n, chars))
+        yield pd.DataFrame(
+            {"conv_id": [conv_id], "n_turns": [n], "sum_chars": [chars]}
+        )
+
+    out = (
+        read_transcript_stream(spark, input_dir)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            "conv_id string, n_turns long, sum_chars long",
+            "n long, chars long",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    writer = (
+        out.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_turn_rates(
     spark: SparkSession,
     input_dir: str,
