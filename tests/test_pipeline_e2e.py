@@ -156,3 +156,30 @@ def test_with_span_structs_typed(spark):
         assert r.spans
         assert json.loads(r.spans_json) == [[s.start, s.end] for s in r.spans]
         assert all(0 <= s.start <= s.end for s in r.spans)
+
+
+def test_extract_corpus_windowing_knobs(spark):
+    """B2/D6 knobs surface at the pipeline API: tiny max_chars still
+    yields one row per turn with valid raw spans; defaults are
+    golden-exact (covered by the contract), pad_frac only widens spans."""
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.pipeline import extract_corpus
+
+    sf = "/root/testdata/sf0.001"
+    base = extract_corpus(spark, sf, num_partitions=8)
+    windowed = extract_corpus(
+        spark, sf, num_partitions=8, max_chars=2000, pad_frac=0.15
+    )
+    nb, nw = base.count(), windowed.count()
+    assert nb == nw == 500  # one row per turn, always
+    # windowing only affects oversized payloads: small ones identical
+    b = {
+        (r.conv_id, r.turn_idx): (r.kind, r.extracted)
+        for r in base.filter(F.col("bytes_in") < 1500).collect()
+    }
+    w = {
+        (r.conv_id, r.turn_idx): (r.kind, r.extracted)
+        for r in windowed.filter(F.col("bytes_in") < 1500).collect()
+    }
+    assert b == w and len(b) > 300

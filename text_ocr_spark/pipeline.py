@@ -265,44 +265,54 @@ def extract_transcripts(
     return salted.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
 
 
-def _gen_extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Fused payload-build + extraction (single Arrow stage).
+def _gen_extract_batches_fn(max_chars: int | None, pad_frac: float):
+    """Fused payload-build + extraction (single Arrow stage), with the
+    B2 window bound and D6 padding flag captured in the closure.
 
     Input is deliberately just (doc_id, text): every other transcript
     column (conv_id/turn_idx/role/ts) is a pure JVM expression on doc_id
     attached AFTER this stage — strings/timestamps that merely pass
     through a pandas UDF cost Arrow+object conversion for nothing.
     """
-    tc = TaskContext.get()
-    pid = tc.partitionId() if tc is not None else -1
-    for pdf in batches:
-        tools: list[Any] = []
-        kinds: list[str] = []
-        texts: list[str] = []
-        spans_json: list[str] = []
-        bytes_in: list[int] = []
-        bytes_out: list[int] = []
-        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-            payload, tool = build_payload(int(doc_id), text or "")
-            kind, extracted, spans = extract_payload(payload, tool)
-            tools.append(tool)
-            kinds.append(kind)
-            texts.append(extracted)
-            spans_json.append(spans_to_json(spans))
-            bytes_in.append(len(payload.encode("utf-8")) if payload else 0)
-            bytes_out.append(len(extracted.encode("utf-8")))
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "tool": tools,
-                "kind": kinds,
-                "extracted": texts,
-                "spans_json": spans_json,
-                "part_id": pid,
-                "bytes_in": bytes_in,
-                "bytes_out": bytes_out,
-            }
-        )
+    from text_ocr_spark.kernels.constants import MAX_ANALYSIS_CHARS
+
+    mc = MAX_ANALYSIS_CHARS if max_chars is None else max_chars
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc is not None else -1
+        for pdf in batches:
+            tools: list[Any] = []
+            kinds: list[str] = []
+            texts: list[str] = []
+            spans_json: list[str] = []
+            bytes_in: list[int] = []
+            bytes_out: list[int] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload, tool = build_payload(int(doc_id), text or "")
+                kind, extracted, spans = extract_payload(
+                    payload, tool, max_chars=mc, pad_frac=pad_frac
+                )
+                tools.append(tool)
+                kinds.append(kind)
+                texts.append(extracted)
+                spans_json.append(spans_to_json(spans))
+                bytes_in.append(len(payload.encode("utf-8")) if payload else 0)
+                bytes_out.append(len(extracted.encode("utf-8")))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "tool": tools,
+                    "kind": kinds,
+                    "extracted": texts,
+                    "spans_json": spans_json,
+                    "part_id": pid,
+                    "bytes_in": bytes_in,
+                    "bytes_out": bytes_out,
+                }
+            )
+
+    return gen
 
 
 _FUSED_SCHEMA = (
@@ -331,8 +341,14 @@ def extract_corpus(
     salt_buckets: int = SALT_BUCKETS,
     num_partitions: int | None = None,
     doc_predicate: F.Column | None = None,
+    max_chars: int | None = None,
+    pad_frac: float = 0.0,
 ) -> DataFrame:
     """documents at sf_dir -> extracted rows; the one-exchange fast path.
+
+    ``max_chars``/``pad_frac`` surface the B2 bounded-analysis window
+    and the D6 span-padding flag (kernels/extract.py) at the pipeline
+    API; defaults preserve golden-exact output.
 
     Physical plan: scan -> ONE salted exchange of (doc_id, text) rows
     (the partitioning keys are computed expressions — no metadata
@@ -362,7 +378,9 @@ def extract_corpus(
             salted = docs.repartition(num_partitions, _conv_id_expr(d), salt)
         else:
             salted = docs.repartition(_conv_id_expr(d), salt)
-    raw = salted.mapInPandas(_gen_extract_batches, schema=_FUSED_SCHEMA)
+    raw = salted.mapInPandas(
+        _gen_extract_batches_fn(max_chars, pad_frac), schema=_FUSED_SCHEMA
+    )
     return _with_transcript_meta(raw).select(*EXTRACT_SCHEMA_COLS)
 
 
