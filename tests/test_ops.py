@@ -367,3 +367,60 @@ def test_embed_resolve_clusters_embed_pairs(spark, emb):
         v = r_.vec_id
         keep = roots[find(v)] if v in parent else v
         assert got[v] == (keep, int(v != keep))
+
+
+def test_resolve_pairs_random_graphs_and_long_path(spark):
+    """Star-contraction CC vs a driver union-find on random graphs, plus
+    the adversarial long-path graph that breaks O(diameter) algorithms
+    (200-node path must resolve in O(log n) rounds, well under the
+    iteration cap)."""
+    import random
+
+    from text_ocr_spark.ops.dedup import resolve_pairs
+
+    rng = random.Random(7)
+    cases = []
+    for _ in range(4):
+        n = rng.randint(2, 60)
+        m = rng.randint(0, 2 * n)
+        nodes = list(range(1000, 1000 + n))
+        edges = [
+            tuple(rng.sample(nodes, 2)) for _ in range(m)
+        ]
+        cases.append((nodes, edges))
+    # long path: worst case for label propagation
+    path_nodes = list(range(5000, 5200))
+    cases.append((path_nodes, list(zip(path_nodes, path_nodes[1:]))))
+
+    for nodes, edges in cases:
+        docs = spark.createDataFrame([(x,) for x in nodes], "doc_id long")
+        pairs = (
+            spark.createDataFrame(edges, "doc_a long, doc_b long")
+            if edges
+            else spark.createDataFrame([], "doc_a long, doc_b long")
+        )
+        got = {
+            r.doc_id: r.cluster_id for r in resolve_pairs(docs, pairs).collect()
+        }
+
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for v in nodes:
+            comp.setdefault(find(v) if v in parent else v, []).append(v)
+        want = {}
+        for members in comp.values():
+            mn = min(members)
+            for v in members:
+                want[v] = mn
+        assert got == want, (len(nodes), len(edges))

@@ -381,6 +381,41 @@ def minhash_dedup(
 # near-dup cluster resolution (pairs -> keep/drop decision)
 # --------------------------------------------------------------------------
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    sym = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", F.col("u")).alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges (max, min); connect all small neighbors AND u itself
+    to min(N_<=(u) ∪ {u})."""
+    o = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        o.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionByName(mins.select("u", F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
 def resolve_pairs(
     docs: DataFrame, pairs: DataFrame, *, max_iters: int = 50
 ) -> DataFrame:
@@ -391,45 +426,39 @@ def resolve_pairs(
     docs (no near-dup pair) keep themselves. This is the near-dup twin of
     exact_dedup's keep decision — pairs alone don't dedup a corpus.
 
-    Distributed min-label propagation, no driver-side collect: each
-    round every node takes the min of its own label and its neighbors'
-    labels (one hash join + one groupBy-min per round), converging in
-    O(graph diameter) rounds; the driver only reads a changed-count
-    aggregate to detect the fixed point. Near-dup graphs at threshold
-    >= 0.9 are overwhelmingly tiny cliques (diameter 1-2), so rounds
-    stay low; localCheckpoint cuts the lineage per round (swap for
-    reliable checkpoint dirs on a real cluster).
+    Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", 2014): each round is
+    two groupBy-min + join passes over the edge list, and the edge set
+    provably converges to per-component stars (child -> component min)
+    in O(log n) rounds — immune to the long-chain worst case that makes
+    plain min-label propagation take O(diameter) rounds. No driver-side
+    collect: the driver only compares bounded symmetric-difference
+    counts to detect the fixed point; localCheckpoint cuts lineage per
+    round (swap for reliable checkpoint dirs on a real cluster).
     """
-    edges = pairs.select("doc_a", "doc_b")
-    sym = (
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .localCheckpoint()  # materialized once, probed every round
+    e = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
     )
-    labels = docs.select(
-        "doc_id", F.col("doc_id").alias("lbl")
-    ).localCheckpoint()
     for _ in range(max_iters):
-        msgs = sym.join(
-            labels.withColumnRenamed("doc_id", "src"), "src"
-        ).select(F.col("dst").alias("doc_id"), "lbl")
-        new_labels = (
-            labels.unionByName(msgs)
-            .groupBy("doc_id")
-            .agg(F.min("lbl").alias("lbl"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        e1 = _large_star(e).localCheckpoint()
+        e2 = _small_star(e1).localCheckpoint()
+        if e2.exceptAll(e).count() == 0 and e.exceptAll(e2).count() == 0:
+            e = e2
             break
+        e = e2
+    # at the fixed point every edge is (member, component_min); the
+    # groupBy-min is belt-and-braces for the max_iters cutoff
+    child = e.groupBy("u").agg(F.min("v").alias("lbl")).withColumnRenamed(
+        "u", "doc_id"
+    )
+    labels = (
+        docs.select("doc_id")
+        .join(child, "doc_id", "left")
+        .withColumn("lbl", F.coalesce("lbl", F.col("doc_id")))
+    )
     return labels.select(
         "doc_id",
         F.col("lbl").alias("cluster_id"),
