@@ -442,13 +442,17 @@ def resolve_pairs(
         .distinct()
         .localCheckpoint()
     )
+    n_prev = e.count()
     for _ in range(max_iters):
         e1 = _large_star(e).localCheckpoint()
         e2 = _small_star(e1).localCheckpoint()
-        if e2.exceptAll(e).count() == 0 and e.exceptAll(e2).count() == 0:
-            e = e2
+        # both sides are distinct sets: equal size + empty one-sided
+        # difference <=> equal sets (skips the second exceptAll pass)
+        n_new = e2.count()
+        converged = n_new == n_prev and e2.exceptAll(e).count() == 0
+        e, n_prev = e2, n_new
+        if converged:
             break
-        e = e2
     # at the fixed point every edge is (member, component_min); the
     # groupBy-min is belt-and-braces for the max_iters cutoff
     child = e.groupBy("u").agg(F.min("v").alias("lbl")).withColumnRenamed(
