@@ -658,31 +658,40 @@ def simhash_pairs(docs: DataFrame, radius: int = 3) -> DataFrame:
 
     Banded join: 4 bands of 16 bits — radius <= 3 guarantees at least one
     band matches exactly (pigeonhole), so the join is on band equality,
-    never a cross join.
+    never a cross join. All bands ride ONE equi-join: each doc explodes
+    to (doc_id, band_idx, band_val) rows and the self-join keys on
+    (band_idx, band_val) — one shuffle instead of a 4-way union of
+    per-band joins.
     """
     sh = docs.select("doc_id", "text").mapInPandas(
         _simhash_rows, schema="doc_id long, simhash long"
     )
-    band_cols = [
-        F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"b{i}")
-        for i in range(SIMHASH_BANDS)
-    ]
-    banded = sh.select("doc_id", "simhash", *band_cols)
-    pairs = None
-    for i in range(SIMHASH_BANDS):
-        a, b = banded.alias("a"), banded.alias("b")
-        p = a.join(
-            b,
-            (F.col(f"a.b{i}") == F.col(f"b.b{i}"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        ).select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    assert pairs is not None
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for i in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.simhash").alias("sh_a"),
+        F.col("b.simhash").alias("sh_b"),
+    )
     return (
         pairs.distinct()
         .withColumn(
