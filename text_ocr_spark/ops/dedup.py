@@ -172,6 +172,11 @@ def _perm_coeffs(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 _PERM_A, _PERM_B = _perm_coeffs(NUM_PERM)
+#: memo lives for the worker process; BOUNDED — an unbounded dict keyed
+#: by token strings leaks executor memory linearly in corpus vocabulary
+#: at 100 TB. 2^20 entries ≈ tens of MB worst case, covers any realistic
+#: hot vocabulary; cold tokens just rehash (pure function, same value).
+_TOKEN_CACHE_MAX = 1 << 20
 _TOKEN_HASH_CACHE: dict[str, int] = {}
 
 
@@ -179,7 +184,8 @@ def _token_hash(tok: str) -> int:
     hv = _TOKEN_HASH_CACHE.get(tok)
     if hv is None:
         hv = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=4).digest(), "big")
-        _TOKEN_HASH_CACHE[tok] = hv
+        if len(_TOKEN_HASH_CACHE) < _TOKEN_CACHE_MAX:
+            _TOKEN_HASH_CACHE[tok] = hv
     return hv
 
 
