@@ -113,3 +113,15 @@ def test_ordered_output_is_range_partitioned(spark):
     assert "rangepartitioning(conv_id" in p
     # in-partition sort (global=false), never a single-partition sort
     assert re.search(r"\[conv_id[^\]]*turn_idx[^\]]*\], false", p)
+
+
+def test_q5_dimension_chains_broadcast(spark):
+    """Six-table Q5 shape: every dimension chain broadcasts (no
+    sort-merge shuffle of a dim, no cartesian product); the only
+    exchanges belong to the final aggregate."""
+    from text_ocr_spark.ops.relational import q5_region_supplier_volume
+
+    p = plan_str(spark, q5_region_supplier_volume(spark, SF_TINY))
+    assert len(re.findall(r"BroadcastHashJoin", p)) >= 4
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p

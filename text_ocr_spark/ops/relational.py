@@ -202,3 +202,74 @@ def order_status_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
     filled_c = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
     # subtract == SQL EXCEPT (distinct set semantics), matching DuckDB
     return open_c.subtract(filled_c).orderBy("o_custkey")
+
+
+def q5_region_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (region -> nation -> supplier /
+    customer -> orders -> lineitem) with the local-supplier condition
+    (customer and supplier share a nation) and revenue per nation.
+
+    All three dimension chains (region/nation/supplier, customer) are
+    small relative to the fact tables, so Catalyst broadcasts them and
+    only orders x lineitem pay a shuffle — the join-order freedom this
+    query exists to exercise. Covers the four otherwise-unused tables.
+    """
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    lineitem = _t(spark, sf_dir, "lineitem")
+    money = F.col("l_extendedprice").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(6,4)")
+    disc = money * (one - F.col("l_discount").cast("decimal(6,4)"))
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            F.round(F.sum(disc).cast("double"), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: part x lineitem with a conditional aggregate —
+    the promo share of revenue per month. Part broadcasts; one shuffle
+    for the monthly groupBy."""
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    money = F.col("l_extendedprice").cast("decimal(12,2)")
+    one = F.lit(1).cast("decimal(6,4)")
+    disc = money * (one - F.col("l_discount").cast("decimal(6,4)"))
+    month = F.date_format("l_shipdate", "yyyy-MM")
+    j = lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    zero = F.lit(0).cast("decimal(24,10)")
+    promo = F.when(F.col("p_type") == "PROMO", disc.cast("decimal(24,10)")).otherwise(zero)
+    return (
+        j.groupBy(month.alias("ship_month"))
+        .agg(
+            F.round(F.sum(promo).cast("double"), 4).alias("promo_revenue"),
+            F.round(F.sum(disc).cast("double"), 4).alias("total_revenue"),
+            F.round(
+                (
+                    F.lit(100.0)
+                    * F.sum(promo).cast("double")
+                    / F.sum(disc).cast("double")
+                ),
+                6,
+            ).alias("promo_pct"),
+        )
+        .orderBy("ship_month")
+    )
