@@ -46,3 +46,49 @@ def test_unsalted_would_collapse(spark):
         .count()
     )
     assert one == 1
+
+
+def test_salted_join_spreads_hot_key_and_preserves_result(spark):
+    """salted_join == plain join row-for-row, while the hot key's rows
+    spread over many tasks instead of one."""
+    from text_ocr_spark.ops.joins import salted_join
+
+    # hot key: 2000 of 2100 rows share user 'hot'
+    big = spark.range(2100).select(
+        F.when(F.col("id") < 2000, "hot")
+        .otherwise(F.concat(F.lit("u"), F.col("id")))
+        .alias("user_id"),
+        F.col("id").alias("event_id"),
+    )
+    small = spark.createDataFrame(
+        [("hot", "H"), ("u2050", "A")], "user_id string, segment string"
+    )
+    plain = big.join(small, "user_id").select("user_id", "event_id", "segment")
+    salted = salted_join(big, small, "user_id").select(
+        "user_id", "event_id", "segment"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+    # the hot key occupies many partitions post-join (AQE would coalesce
+    # this tiny corpus back to one partition and hide the spread)
+    # force the shuffle-join regime salted_join exists for (tiny test
+    # data would otherwise broadcast, and AQE would re-coalesce)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        spread = (
+            salted_join(big, small, "user_id", salt_buckets=16)
+            .withColumn("pid", F.spark_partition_id())
+            .where(F.col("user_id") == "hot")
+            .select("pid")
+            .distinct()
+            .count()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert spread >= 4
+    # left join keeps unmatched big rows exactly once
+    left = salted_join(big, small, "user_id", how="left")
+    assert left.count() == 2100

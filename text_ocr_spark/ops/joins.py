@@ -217,3 +217,43 @@ def purchases_asof_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lag_secs"
         ),
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str | list[str],
+    *,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join immune to hot keys (SURVEY.md §2.H): each big-side row
+    gets a per-row salt, the small side replicates across every salt
+    value, and the join keys on (key..., salt) — so one hot key's rows
+    spread over ``salt_buckets`` tasks instead of collapsing into one.
+
+    Result set is IDENTICAL to the plain join (each big row still meets
+    each matching small row exactly once, under its own salt), so the
+    salt values themselves may be arbitrary; they come from a row-id
+    hash purely to spread uniformly even when a hot key's rows are
+    byte-identical. Use where AQE's skew-join can't help: non-AQE
+    paths, streaming micro-batch joins, or when the small side is too
+    big to broadcast but small enough to replicate salt_buckets x.
+
+    ``how`` supports inner/left (right/full would need null-extension
+    handling per salt and are refused).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    b = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)),
+    )
+    s = small.withColumn(
+        "_salt",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>")
+        ),
+    )
+    return b.join(s, [*keys, "_salt"], how).drop("_salt")
