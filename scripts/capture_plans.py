@@ -16,7 +16,11 @@ SF = "/root/testdata/sf0.001"
 def main() -> int:
     from text_ocr_spark.ops.dedup import embed_pairs, minhash_dedup
     from text_ocr_spark.ops.joins import purchase_error_window, purchases_asof_view
-    from text_ocr_spark.ops.relational import q1_pricing_summary, top_revenue_customers
+    from text_ocr_spark.ops.relational import (
+        q1_pricing_summary,
+        q5_region_supplier_volume,
+        top_revenue_customers,
+    )
     from text_ocr_spark.ops.similarity import brute_topk
     from text_ocr_spark.pipeline import (
         conv_chunk_expr,
@@ -70,6 +74,14 @@ def main() -> int:
             "shuffle of the fact side. TakeOrderedAndProject streams the "
             "global top-10 without a full sort.",
             top_revenue_customers(spark, SF),
+        ),
+        (
+            "q5_region_supplier_volume (6-table join)",
+            "All dimension chains (region/nation/supplier, customer) ride "
+            "BroadcastHashJoins — no sort-merge shuffle of a dim, no "
+            "cartesian; the orderdate filter pushes to the orders scan. "
+            "At 100 TB only orders x lineitem pay a shuffle.",
+            q5_region_supplier_volume(spark, SF),
         ),
         (
             "brute_topk (similarity baseline)",
