@@ -116,3 +116,23 @@ def test_span_padding_flag():
     assert pad_spans([(0, 10)], 10, 0.5) == [(0, 10)]
     # re-sort under unequal growth keeps the sorted-by-start invariant
     assert pad_spans([(5, 6), (6, 100)], 100, 0.5) == [(0, 100), (5, 6)]
+
+
+@given(
+    text=st.text(max_size=8000),
+    mc=st.integers(64, 2000),
+    pad=st.sampled_from([0.0, 0.15]),
+)
+@settings(max_examples=80, deadline=None)
+def test_windowed_extract_payload_total(text, mc, pad):
+    """B2/D6 composition is TOTAL on arbitrary unicode: never raises,
+    one (kind, extracted, spans) result, spans sorted within the raw
+    payload, '' <=> [] invariant preserved."""
+    kind, extracted, spans = extract_payload(text, None, max_chars=mc, pad_frac=pad)
+    assert kind in ("empty", "html", "pdf", "ocr", "plain")
+    assert (extracted == "") == (spans == [])
+    prev = -1
+    for s, e in spans:
+        assert 0 <= s <= e <= len(text)
+        assert s >= prev
+        prev = s
