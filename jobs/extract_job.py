@@ -26,6 +26,14 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--salt", type=int, default=16)
     ap.add_argument("--repeat", type=int, default=1, help="corpus replication (bench)")
     ap.add_argument("--skip-write", action="store_true", help="count only (bench)")
+    ap.add_argument(
+        "--max-chars", type=int, default=None,
+        help="B2 bounded-analysis window (chars); default kernels constant",
+    )
+    ap.add_argument(
+        "--pad-frac", type=float, default=0.0,
+        help="D6 span context padding fraction (default off)",
+    )
     args = ap.parse_args(argv)
 
     from text_ocr_spark.pipeline import (
@@ -77,6 +85,8 @@ def main(argv: list[str]) -> int:
         repeat=args.repeat,
         salt_buckets=args.salt,
         num_partitions=args.partitions,
+        max_chars=args.max_chars,
+        pad_frac=args.pad_frac,
     )
     if args.skip_write:
         n = extracted.count()
