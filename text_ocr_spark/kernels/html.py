@@ -20,7 +20,7 @@ Pinned tokenizer semantics:
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass
+from typing import NamedTuple
 
 import numpy as np
 
@@ -52,8 +52,9 @@ _SCAN_RE = re.compile(
 _TAG_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9]*)")
 
 
-@dataclass
-class Token:
+class Token(NamedTuple):
+    # NamedTuple, not dataclass: C-level construction matters at one
+    # Token per lexeme over 100 TB of markup
     start: int
     end: int
     text: str
