@@ -37,10 +37,13 @@ def run_once(
     n_exec: int, cores: int, mem_mb: int, sf_dir: str, repeat: int
 ) -> dict:
     zip_path = "/tmp/engine_bench.zip"
-    if not os.path.exists(zip_path):
-        subprocess.run(
-            ["zip", "-qr", zip_path, "text_ocr_spark"], cwd=REPO, check=True
-        )
+    # ALWAYS rebuild: a stale zip from an earlier code state makes the
+    # job crash (or worse, silently bench old code)
+    if os.path.exists(zip_path):
+        os.remove(zip_path)
+    subprocess.run(
+        ["zip", "-qr", zip_path, "text_ocr_spark"], cwd=REPO, check=True
+    )
     total_cores = n_exec * cores
     partitions = total_cores * 2
     cmd = [

@@ -54,10 +54,13 @@ def run_level(cores: int, sf_dir: str, repeat: int) -> dict:
 
 def _run_once(cores: int, sf_dir: str, repeat: int) -> dict:
     zip_path = "/tmp/engine_bench.zip"
-    if not os.path.exists(zip_path):
-        subprocess.run(
-            ["zip", "-qr", zip_path, "text_ocr_spark"], cwd=REPO, check=True
-        )
+    # ALWAYS rebuild: a stale zip from an earlier code state makes the
+    # job crash (or worse, silently bench old code)
+    if os.path.exists(zip_path):
+        os.remove(zip_path)
+    subprocess.run(
+        ["zip", "-qr", zip_path, "text_ocr_spark"], cwd=REPO, check=True
+    )
     partitions = cores * 2  # cluster-proportional, Spark's standard rule
     cmd = [
         "spark-submit",
