@@ -1,0 +1,92 @@
+"""Cleaning-family ops (pii_scrub / paragraph_dedup / repetition_stats):
+the driver corpus is single-line per doc, so the multi-paragraph,
+duplicate-heavy semantics are pinned here on constructed documents."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def messy(spark):
+    rows = [
+        (1, "contact me at a.user@example.com or 10.0.0.1 today"),
+        (2, "alpha\n\nbeta\nalpha\n\n  \nbeta"),
+        (3, "beta\nalpha\ngamma"),
+        (4, ""),
+        (5, "alpha\nalpha\nalpha"),
+        (6, "mail x@y.io and x@y.io from 192.168.1.255"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_scrub_masks_and_counts(spark, messy):
+    from text_ocr_spark.ops.cleaning import pii_scrub
+
+    out = {r.doc_id: r for r in pii_scrub(messy).collect()}
+    assert out[1].clean_text == "contact me at <EMAIL> or <IP> today"
+    assert out[1].n_emails == 1 and out[1].n_ips == 1
+    assert out[6].clean_text == "mail <EMAIL> and <EMAIL> from <IP>"
+    assert out[6].n_emails == 2 and out[6].n_ips == 1
+    assert out[4].n_emails == 0 and out[4].n_ips == 0
+    assert out[2].clean_text == messy.where("doc_id=2").first().text
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark, messy):
+    from text_ocr_spark.ops.cleaning import paragraph_dedup
+
+    rows = {
+        (r.doc_id, r.para_idx): (r.keep_doc, r.keep_idx, r.is_dup)
+        for r in paragraph_dedup(messy).collect()
+    }
+    # doc 2: alpha(0) beta(1) alpha(2) beta(3) after trim/empty-drop
+    assert rows[(2, 0)] == (2, 0, 0)  # first alpha anywhere
+    assert rows[(2, 1)] == (2, 1, 0)  # first beta anywhere
+    assert rows[(2, 2)] == (2, 0, 1)  # intra-doc duplicate alpha
+    assert rows[(2, 3)] == (2, 1, 1)
+    # doc 3: beta/alpha duplicate doc 2's; gamma is fresh
+    assert rows[(3, 0)] == (2, 1, 1)
+    assert rows[(3, 1)] == (2, 0, 1)
+    assert rows[(3, 2)] == (3, 2, 0)
+    # doc 4 (empty) contributes no rows
+    assert not any(d == 4 for d, _ in rows)
+    # doc 5: alpha x3, all dups of doc 2's first
+    assert rows[(5, 0)] == (2, 0, 1)
+    assert rows[(5, 1)] == (2, 0, 1)
+    assert rows[(5, 2)] == (2, 0, 1)
+
+
+def test_repetition_stats_fractions(spark, messy):
+    from text_ocr_spark.ops.cleaning import repetition_stats
+
+    out = {r.doc_id: r for r in repetition_stats(messy).collect()}
+    # doc 5: 3 identical lines -> dup_line_frac = 1 - 1/3
+    assert out[5].n_lines == 3 and out[5].n_distinct_lines == 1
+    assert abs(out[5].dup_line_frac - round(1 - 1 / 3, 6)) < 1e-12
+    # doc 2: lines alpha,beta,alpha,beta -> 4 lines 2 distinct
+    assert out[2].n_lines == 4 and out[2].n_distinct_lines == 2
+    assert out[2].dup_line_frac == 0.5
+    # doc 2 paragraphs (blank-line split): 'alpha', 'beta\nalpha', 'beta'
+    assert out[2].n_paras == 3 and out[2].n_distinct_paras == 3
+    assert out[2].dup_para_frac == 0.0
+    # empty doc: zeros, no NaN
+    assert out[4].n_lines == 0 and out[4].dup_line_frac == 0.0
+
+
+def test_cleaning_plans_stay_jvm_only(spark):
+    """The whole family must plan without any Python stage."""
+    from tests.test_plans import plan_str
+    from text_ocr_spark.ops.cleaning import (
+        paragraph_dedup,
+        pii_scrub,
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    for df in (pii_scrub(docs), paragraph_dedup(docs), repetition_stats(docs)):
+        p = plan_str(spark, df)
+        assert "MapInPandas" not in p
+        assert "BatchEvalPython" not in p
+        assert "ArrowEvalPython" not in p

@@ -1,0 +1,129 @@
+"""Corpus-cleaning operators — the scrub/filter stages a training-data
+pipeline runs between extraction and dedup (CCNet/RefinedWeb/Gopher-style
+rules, public recipes). All pure JVM expressions: no Python in any plan,
+every op exactly cross-checkable in DuckDB.
+
+- pii_scrub:        mask emails / IPv4s, report match counts.
+- paragraph_dedup:  corpus-LEVEL paragraph dedup (CCNet's line-level
+                    dedup shape): one row per non-empty paragraph with
+                    its keep/drop verdict — first occurrence wins,
+                    ordered by (doc_id, para_idx).
+- repetition_stats: Gopher-style repetition signals per doc (duplicate
+                    line / paragraph fractions) for quality filtering.
+
+Regex discipline: patterns restricted to syntax with identical semantics
+in Java regex (Spark) and RE2 (DuckDB) — char classes, bounded repeats,
+\\b word boundaries; no backrefs, no lookaround.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """-> (doc_id, clean_text, n_emails, n_ips).
+
+    Emails mask first, then IPv4s (order matters: an IP inside an
+    already-masked email must not double count). Counts come from the
+    pre-mask text for emails and the email-masked text for IPs —
+    exactly the sequential rewrite DuckDB's oracle applies.
+    """
+    emails_masked = F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(emails_masked, IPV4_RE, "<IP>")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(emails_masked, F.lit(IPV4_RE), F.lit(0)))
+        .alias("n_ips"),
+    )
+
+
+def _paragraphs(docs: DataFrame) -> DataFrame:
+    """One row per non-empty trimmed paragraph: (doc_id, para_idx, phash).
+    para_idx counts non-empty paragraphs in document order."""
+    split = F.split(F.col("text"), r"\n")
+    paras = docs.select(
+        "doc_id", F.posexplode(split).alias("raw_idx", "para")
+    ).withColumn("para", F.trim("para")).filter(F.length("para") > 0)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("raw_idx")
+    return paras.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("int").alias("para_idx"),
+        F.md5(F.col("para").cast("binary")).alias("phash"),
+    )
+
+
+def paragraph_dedup(docs: DataFrame) -> DataFrame:
+    """Corpus-level paragraph dedup verdicts.
+
+    -> (doc_id, para_idx, phash, keep_doc, keep_idx, is_dup): the keeper
+    of a paragraph hash is its first occurrence in (doc_id, para_idx)
+    order. Two grouped passes (min doc, then min idx within that doc) —
+    both engines agree without struct-ordering semantics. At scale this
+    is two hash aggregations plus a broadcast-able join on the (far
+    smaller) distinct-hash side.
+    """
+    paras = _paragraphs(docs)
+    kd = paras.groupBy("phash").agg(F.min("doc_id").alias("keep_doc"))
+    ki = (
+        paras.join(kd, "phash")
+        .where(F.col("doc_id") == F.col("keep_doc"))
+        .groupBy("phash", "keep_doc")
+        .agg(F.min("para_idx").alias("keep_idx"))
+    )
+    return paras.join(ki, "phash").select(
+        "doc_id",
+        "para_idx",
+        "phash",
+        "keep_doc",
+        "keep_idx",
+        (
+            (F.col("doc_id") != F.col("keep_doc"))
+            | (F.col("para_idx") != F.col("keep_idx"))
+        )
+        .cast("int")
+        .alias("is_dup"),
+    )
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document.
+
+    -> (doc_id, n_lines, n_distinct_lines, dup_line_frac, n_paras,
+        n_distinct_paras, dup_para_frac). Lines split on \\n; paragraphs
+    split on blank-line runs; both trimmed, empties dropped; fractions
+    round(6), 0.0 for empty docs. Pure higher-order-function
+    expressions — stays inside whole-stage codegen.
+    """
+
+    def stats(col: F.Column):
+        trimmed = F.filter(
+            F.transform(col, lambda x: F.trim(x)), lambda x: F.length(x) > 0
+        )
+        n = F.size(trimmed)
+        nd = F.size(F.array_distinct(trimmed))
+        frac = F.when(n > 0, F.round(1.0 - nd / n, 6)).otherwise(F.lit(0.0))
+        return n, nd, frac
+
+    lines = F.split(F.col("text"), r"\n")
+    paras = F.split(F.col("text"), r"\n[ \t]*\n+")
+    nl, ndl, fl = stats(lines)
+    np_, ndp, fp = stats(paras)
+    return docs.select(
+        "doc_id",
+        nl.alias("n_lines"),
+        ndl.alias("n_distinct_lines"),
+        fl.alias("dup_line_frac"),
+        np_.alias("n_paras"),
+        ndp.alias("n_distinct_paras"),
+        fp.alias("dup_para_frac"),
+    )
