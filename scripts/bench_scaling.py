@@ -170,8 +170,17 @@ Raw records:
 ```
 """
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    # preserve hand-written sections after the marker across regenerations
+    appendix = ""
+    marker = "<!-- appendix -->"
+    if os.path.exists(args.out):
+        old = open(args.out).read()
+        if marker in old:
+            appendix = old[old.index(marker):]
     with open(args.out, "w") as f:
         f.write(md)
+        if appendix:
+            f.write("\n" + appendix)
     print(
         json.dumps(
             {
