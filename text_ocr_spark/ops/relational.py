@@ -273,3 +273,27 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_month")
     )
+
+
+def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile aggregation per event_type: exact percentiles p50/p90/p99
+    of value (linear interpolation — identical semantics to DuckDB's
+    quantile_cont, cross-checked to the double).
+
+    Exact percentile is the oracle-able face; at 100 TB swap in the
+    sketch twins — percentile_approx (t-digest-style, bounded memory,
+    mergeable) and approx_count_distinct (HLL) — which trade exactness
+    for one-pass mergeability (the dedup vocabulary probe already runs
+    HLL in production).
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
