@@ -18,6 +18,10 @@ Runs the IDENTICAL spark-submit job + input at N and 4N executors
 runs per level (~20% hypervisor noise on this guest), and reports
 
     efficiency(N -> 4N) = (rate_4N / rate_N) / 4
+
+The best-of cache is keyed on the FULL config (executors x cores x mem,
+repeat, sf dir), so records from a different shape never mix into one
+efficiency ratio; each record also carries the git rev it measured.
 """
 
 from __future__ import annotations
@@ -25,50 +29,32 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import subprocess
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
 TRIALS = 3
 
 
 def run_once(
     n_exec: int, cores: int, mem_mb: int, sf_dir: str, repeat: int
 ) -> dict:
-    zip_path = "/tmp/engine_bench.zip"
-    # ALWAYS rebuild: a stale zip from an earlier code state makes the
-    # job crash (or worse, silently bench old code)
-    if os.path.exists(zip_path):
-        os.remove(zip_path)
-    subprocess.run(
-        ["zip", "-qr", zip_path, "text_ocr_spark"], cwd=REPO, check=True
-    )
+    from bench_common import submit_extract_job
+
     total_cores = n_exec * cores
     partitions = total_cores * 2
-    cmd = [
-        "spark-submit",
-        "--master", f"local-cluster[{n_exec},{cores},{mem_mb}]",
-        "--driver-memory", "8g",
-        "--conf", f"spark.sql.shuffle.partitions={partitions}",
-        "--conf", "spark.sql.execution.arrow.maxRecordsPerBatch=8192",
-        "--py-files", zip_path,
-        os.path.join(REPO, "jobs/extract_job.py"),
-        "--sf-dir", sf_dir,
-        "--out", f"/tmp/bench_exec_{n_exec}",
-        "--run-id", f"exec-{n_exec}",
-        "--repeat", str(repeat),
-        "--partitions", str(partitions),
-        "--skip-write",
-    ]
-    t0 = time.time()
-    proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
-    wall = time.time() - t0
-    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-    rec = json.loads(line)
+    rec = submit_extract_job(
+        master=f"local-cluster[{n_exec},{cores},{mem_mb}]",
+        partitions=partitions,
+        sf_dir=sf_dir,
+        repeat=repeat,
+        out=f"/tmp/bench_exec_{n_exec}",
+        run_id=f"exec-{n_exec}",
+        driver_memory="8g",
+    )
     rec.update(
         executors=n_exec, cores_per_executor=cores, mem_mb=mem_mb,
-        partitions=partitions, wall_total=round(wall, 2),
+        partitions=partitions,
     )
     return rec
 
@@ -97,22 +83,30 @@ def main(argv: list[str]) -> int:
     if os.path.exists(args.cache):
         with open(args.cache) as f:
             cache = json.load(f)
+
+    def key(n_exec: int) -> str:
+        return (
+            f"{n_exec}x{args.cores}x{args.mem}"
+            f":r{args.repeat}:{os.path.basename(args.sf_dir.rstrip('/'))}"
+        )
+
     for n_exec in (args.n, 4 * args.n):
         rec = run_level(n_exec, args.cores, args.mem, args.sf_dir, args.repeat)
-        old = cache.get(str(n_exec))
+        old = cache.get(key(n_exec))
         if old is not None and old["turns_per_sec"] > rec["turns_per_sec"]:
             rec = old
-        cache[str(n_exec)] = rec
+        cache[key(n_exec)] = rec
         with open(args.cache, "w") as f:
             json.dump(cache, f)
         print(json.dumps(rec))
-    r_n = cache[str(args.n)]["turns_per_sec"]
-    r_4n = cache[str(4 * args.n)]["turns_per_sec"]
+    r_n = cache[key(args.n)]["turns_per_sec"]
+    r_4n = cache[key(4 * args.n)]["turns_per_sec"]
     eff = round((r_4n / r_n) / 4, 3)
     print(
         json.dumps(
             {
                 "n_executors": args.n,
+                "cores_per_executor": args.cores,
                 "rate_n": r_n,
                 "rate_4n": r_4n,
                 "scaling_efficiency": eff,

@@ -102,3 +102,21 @@ def test_chunks_are_conversation_aligned(spark, tmp_path):
     )
     assert n_multi == 0
     shutil.rmtree(out)
+
+
+def test_chunk_definitions_agree(spark):
+    """checkpoint.chunk_col (output-side conv_id hash — the definition
+    old manifests were committed under) and pipeline.conv_chunk_expr
+    (scan-side doc_id form the resume path now uses) must stay
+    hash-identical, else resuming over a pre-existing manifest would
+    assign rows to different chunks."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_TINY
+    from text_ocr_spark.checkpoint import chunk_col
+    from text_ocr_spark.pipeline import _conv_id_expr, conv_chunk_expr
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select("doc_id")
+    df = docs.withColumn("conv_id", _conv_id_expr(F.col("doc_id")))
+    for n in (2, 4, 8, 16):
+        assert df.where(chunk_col(n) != conv_chunk_expr(n)).count() == 0

@@ -113,3 +113,28 @@ def test_asof_carries_matched_row_atomically(spark):
     row = out[0]
     assert row.right_ts == 50 and row.right_rid == 2
     assert row.right_payload is None  # NOT "old-value"
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """A right row with NULL timestamp can never satisfy
+    right_ts <= left_ts (DuckDB ASOF semantics): it must neither match
+    nor shadow a real match (review r2 regression pin)."""
+    from text_ocr_spark.ops.joins import asof_join
+
+    left = spark.createDataFrame([("u1", 100, "L")], "k string, ts long, lv string")
+    only_null = spark.createDataFrame(
+        [("u1", None, 1, "x")], "k string, ts long, rid int, payload string"
+    )
+    out = asof_join(
+        left, only_null, on="k", left_ts="ts", right_ts="ts", right_tiebreak="rid"
+    ).collect()
+    assert out == []  # no prior right row -> inner as-of drops the left
+    mixed = spark.createDataFrame(
+        [("u1", None, 9, "bogus"), ("u1", 50, 2, "real")],
+        "k string, ts long, rid int, payload string",
+    )
+    out2 = asof_join(
+        left, mixed, on="k", left_ts="ts", right_ts="ts", right_tiebreak="rid"
+    ).collect()
+    assert len(out2) == 1 and out2[0].right_rid == 2
+    assert out2[0].right_payload == "real"

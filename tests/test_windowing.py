@@ -57,10 +57,13 @@ def test_windowed_invariants_and_determinism():
         assert 0 <= s <= e <= len(text)
         assert s >= last
         last = s
-    # every window's extracted text actually occurs in the raw payload
-    # at the span it claims (plain route: span covers non-ws content)
+    # the spans really point at the claimed content: every extracted
+    # word must occur inside SOME span's slice of the raw payload — a
+    # forgotten raw-offset shift in the windowed path fails this
+    span_words = set()
     for s, e in spans:
-        assert text[s:e].strip() == text[s:e].strip()
+        span_words.update(text[s:e].split())
+    assert set(extracted.split()) <= span_words
 
 
 def test_windowed_plain_recovers_all_content():

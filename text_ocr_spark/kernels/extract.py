@@ -75,6 +75,8 @@ def window_bounds(
     one exists; a boundary-free stretch gets a hard cut at max_chars.
     Every window is <= max_chars long and non-empty.
     """
+    if max_chars < 1:
+        raise ValueError(f"max_chars must be >= 1, got {max_chars}")
     bounds: list[tuple[int, int]] = []
     start = 0
     while n - start > max_chars:
@@ -136,7 +138,9 @@ def extract_payload(
     if kind == "empty":
         return kind, "", []
     assert text is not None
-    if max_chars and len(text) > max_chars:
+    # max_chars <= 0 means "windowing disabled" (a negative bound would
+    # otherwise loop window_bounds forever)
+    if max_chars and max_chars > 0 and len(text) > max_chars:
         pieces: list[str] = []
         spans: list[tuple[int, int]] = []
         for s, e in window_bounds(len(text), max_chars, text):

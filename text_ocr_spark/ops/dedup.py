@@ -308,7 +308,14 @@ def _dense_jaccard_pairs(
             F.col("a.docs").alias("docs_a"),
             F.col("b.docs").alias("docs_b"),
         )
-        .repartition(n_blocks * (n_blocks + 1) // 2)
+        # capped: DENSE_MAX_DOCS bounds this route, but don't let a
+        # pathological config request quadratic partition counts
+        .repartition(
+            min(
+                n_blocks * (n_blocks + 1) // 2,
+                max(64, 8 * docs.sparkSession.sparkContext.defaultParallelism),
+            )
+        )
     )
 
     def unpack(rows: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -449,7 +456,10 @@ def resolve_pairs(
         .localCheckpoint()
     )
     n_prev = e.count()
+    converged = n_prev == 0
     for _ in range(max_iters):
+        if converged:
+            break
         e1 = _large_star(e).localCheckpoint()
         e2 = _small_star(e1).localCheckpoint()
         # both sides are distinct sets: equal size + empty one-sided
@@ -457,10 +467,14 @@ def resolve_pairs(
         n_new = e2.count()
         converged = n_new == n_prev and e2.exceptAll(e).count() == 0
         e, n_prev = e2, n_new
-        if converged:
-            break
-    # at the fixed point every edge is (member, component_min); the
-    # groupBy-min is belt-and-braces for the max_iters cutoff
+    if not converged:
+        # an unconverged edge set would yield labels that are NOT
+        # component minima — refuse rather than silently mis-cluster.
+        # O(log n) convergence means 50 rounds covers any real graph.
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iters} rounds"
+        )
+    # at the fixed point every edge is (member, component_min)
     child = e.groupBy("u").agg(F.min("v").alias("lbl")).withColumnRenamed(
         "u", "doc_id"
     )
@@ -592,12 +606,20 @@ def embed_pairs(
         tiles = blocks.alias("a").join(
             blocks.alias("b"), F.col("a.block") <= F.col("b.block")
         )
+    # spread tiles one-ish per task, but CAP the partition count: the
+    # blanket B(B+1)/2 figure is quadratic in corpus size and would ask
+    # for ~1e11 partitions at 1B vectors — the prefilter path may carry
+    # only a handful of candidate tiles anyway (review r2)
+    n_parts = min(
+        n_blocks * (n_blocks + 1) // 2,
+        max(64, 8 * emb.sparkSession.sparkContext.defaultParallelism),
+    )
     tiles = tiles.select(
         F.col("a.block").alias("block_a"),
         F.col("b.block").alias("block_b"),
         F.col("a.vecs").alias("vecs_a"),
         F.col("b.vecs").alias("vecs_b"),
-    ).repartition(n_blocks * (n_blocks + 1) // 2)
+    ).repartition(n_parts)
 
     def unpack(rows: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)

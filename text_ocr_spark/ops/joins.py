@@ -52,6 +52,10 @@ def asof_join(
     # whole winning ROW is kept (struct max is lexicographic, tiebreak
     # first — never a per-column mix of different rows)
     others = [c for c in rcols if c != right_ts and c != right_tiebreak]
+    # a NULL-timestamp right row can never satisfy right_ts <= left_ts
+    # (DuckDB ASOF semantics); dropped up front so NULL _ts can't sort
+    # first in the window and get carried as a bogus match
+    right = right.where(F.col(right_ts).isNotNull())
     r_latest = (
         right.groupBy(on, right_ts)
         .agg(
@@ -245,15 +249,22 @@ def salted_join(
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if salt_buckets < 1:
+        # pmod(x, 0) is NULL and sequence(0, -1) descends: 0 buckets
+        # would silently produce an empty/all-null join
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+    sc = "__salted_join_salt"
+    if sc in big.columns or sc in small.columns:
+        raise ValueError(f"inputs must not already carry a {sc!r} column")
     keys = [on] if isinstance(on, str) else list(on)
     b = big.withColumn(
-        "_salt",
+        sc,
         F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_buckets)),
     )
     s = small.withColumn(
-        "_salt",
+        sc,
         F.explode(
             F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>")
         ),
     )
-    return b.join(s, [*keys, "_salt"], how).drop("_salt")
+    return b.join(s, [*keys, sc], how).drop(sc)
