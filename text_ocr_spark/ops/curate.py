@@ -1,0 +1,68 @@
+"""End-to-end corpus curation — the composition the engine exists for:
+
+    extract (Arrow kernels) -> PII scrub -> quality floor -> exact
+    first-occurrence dedup -> curated turns
+
+One DAG, one driver action: Catalyst fuses the JVM-side scrub/filter/
+dedup stages directly onto the extraction output, so the whole pipeline
+pays the extraction's single salted exchange plus two hash aggregations
+for the dedup verdict — no intermediate materialization. Every stage
+after extraction is SQL-expressible, so the contract oracle is the same
+transformation applied to the committed extraction golden in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from text_ocr_spark.ops.cleaning import EMAIL_RE, IPV4_RE
+
+#: minimum whitespace tokens for a turn to survive curation
+MIN_TOKENS_KEEP = 5
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-> (conv_id, turn_idx, kind, clean_text, n_tokens), kept turns only.
+
+    Keep rules (applied to the extracted text, in order):
+    1. non-empty extraction;
+    2. n_tokens >= MIN_TOKENS_KEEP (whitespace tokens, trimmed);
+    3. first occurrence of the exact extracted text (md5):
+       row_number() = 1 over (partition by hash, order by conv_id,
+       turn_idx) — a WINDOW, not a self-join, because each self-join arm
+       would re-plan (and re-run) the whole extraction subtree upstream:
+       the one-window form keeps the pipeline at exactly one Arrow stage
+       (plan-gated in tests/test_cleaning.py).
+    PII masking (emails then IPv4s) applies to survivors.
+    """
+    from pyspark.sql import Window
+
+    from text_ocr_spark.pipeline import extract_corpus
+
+    ex = extract_corpus(spark, sf_dir).select(
+        "conv_id", "turn_idx", "kind", "extracted"
+    )
+    n_tokens = F.size(F.split(F.trim("extracted"), r"\s+"))
+    base = (
+        ex.filter(F.length("extracted") > 0)
+        .withColumn("n_tokens", n_tokens)
+        .filter(F.col("n_tokens") >= MIN_TOKENS_KEEP)
+        .withColumn("h", F.md5(F.col("extracted").cast("binary")))
+    )
+    w = Window.partitionBy("h").orderBy("conv_id", "turn_idx")
+    kept = base.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("extracted"), EMAIL_RE, "<EMAIL>"),
+        IPV4_RE,
+        "<IP>",
+    )
+    return kept.select(
+        "conv_id",
+        "turn_idx",
+        "kind",
+        clean.alias("clean_text"),
+        "n_tokens",
+    )
