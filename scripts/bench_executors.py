@@ -79,15 +79,20 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--cache", default="/tmp/bench_exec_cache.json")
     args = ap.parse_args(argv)
 
+    from bench_common import git_rev
+
+    rev = git_rev()
     cache: dict[str, dict] = {}
     if os.path.exists(args.cache):
         with open(args.cache) as f:
             cache = json.load(f)
 
     def key(n_exec: int) -> str:
+        # full path + full config + code rev: records from any other
+        # shape or code version never mix into one efficiency ratio
         return (
             f"{n_exec}x{args.cores}x{args.mem}"
-            f":r{args.repeat}:{os.path.basename(args.sf_dir.rstrip('/'))}"
+            f":r{args.repeat}:{args.sf_dir}:{rev}"
         )
 
     for n_exec in (args.n, 4 * args.n):

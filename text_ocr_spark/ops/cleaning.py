@@ -23,6 +23,17 @@ from pyspark.sql import functions as F
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+#: whitespace class common to Java regex and RE2 (Java \s includes \x0B,
+#: RE2's does not — \s would silently diverge between Spark and DuckDB)
+WS_RE = r"[ \t\n\f\r]+"
+
+
+def scrub_expr(col: F.Column) -> F.Column:
+    """The canonical PII mask chain (emails first, then IPv4s) — single
+    source for pii_scrub, curate_corpus, and their oracles."""
+    return F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+    )
 
 
 def pii_scrub(docs: DataFrame) -> DataFrame:
@@ -34,10 +45,9 @@ def pii_scrub(docs: DataFrame) -> DataFrame:
     exactly the sequential rewrite DuckDB's oracle applies.
     """
     emails_masked = F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>")
-    clean = F.regexp_replace(emails_masked, IPV4_RE, "<IP>")
     return docs.select(
         "doc_id",
-        clean.alias("clean_text"),
+        scrub_expr(F.col("text")).alias("clean_text"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(EMAIL_RE), F.lit(0)))
         .alias("n_emails"),
         F.size(F.regexp_extract_all(emails_masked, F.lit(IPV4_RE), F.lit(0)))

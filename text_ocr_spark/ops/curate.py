@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from text_ocr_spark.ops.cleaning import EMAIL_RE, IPV4_RE
+from text_ocr_spark.ops.cleaning import WS_RE, scrub_expr
 
 #: minimum whitespace tokens for a turn to survive curation
 MIN_TOKENS_KEEP = 5
@@ -43,7 +43,9 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = extract_corpus(spark, sf_dir).select(
         "conv_id", "turn_idx", "kind", "extracted"
     )
-    n_tokens = F.size(F.split(F.trim("extracted"), r"\s+"))
+    # WS_RE, not \s+: Java's \s matches \x0B, RE2's does not — the
+    # explicit class keeps Spark and the DuckDB oracle byte-agreed
+    n_tokens = F.size(F.split(F.trim("extracted"), WS_RE))
     base = (
         ex.filter(F.length("extracted") > 0)
         .withColumn("n_tokens", n_tokens)
@@ -54,15 +56,10 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = base.withColumn("rn", F.row_number().over(w)).where(
         F.col("rn") == 1
     )
-    clean = F.regexp_replace(
-        F.regexp_replace(F.col("extracted"), EMAIL_RE, "<EMAIL>"),
-        IPV4_RE,
-        "<IP>",
-    )
     return kept.select(
         "conv_id",
         "turn_idx",
         "kind",
-        clean.alias("clean_text"),
+        scrub_expr(F.col("extracted")).alias("clean_text"),
         "n_tokens",
     )

@@ -64,6 +64,17 @@ DENSE_BLOCK = 2048
 DENSE_MAX_DOCS = 8 * DENSE_BLOCK
 
 
+def _tile_partitions(n_blocks: int, df: DataFrame) -> int:
+    """Partition count for block-pair tile stages: one-ish tile per task
+    for small corpora, CAPPED so the quadratic B(B+1)/2 figure can never
+    request absurd partition counts at scale (prefiltered tile sets are
+    small anyway)."""
+    return min(
+        n_blocks * (n_blocks + 1) // 2,
+        max(64, 8 * df.sparkSession.sparkContext.defaultParallelism),
+    )
+
+
 def tokens_col(text_col: str = "text") -> F.Column:
     """Distinct whitespace tokens of a trimmed document (JVM-side)."""
     return F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
@@ -308,14 +319,7 @@ def _dense_jaccard_pairs(
             F.col("a.docs").alias("docs_a"),
             F.col("b.docs").alias("docs_b"),
         )
-        # capped: DENSE_MAX_DOCS bounds this route, but don't let a
-        # pathological config request quadratic partition counts
-        .repartition(
-            min(
-                n_blocks * (n_blocks + 1) // 2,
-                max(64, 8 * docs.sparkSession.sparkContext.defaultParallelism),
-            )
-        )
+        .repartition(_tile_partitions(n_blocks, docs))
     )
 
     def unpack(rows: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -606,20 +610,12 @@ def embed_pairs(
         tiles = blocks.alias("a").join(
             blocks.alias("b"), F.col("a.block") <= F.col("b.block")
         )
-    # spread tiles one-ish per task, but CAP the partition count: the
-    # blanket B(B+1)/2 figure is quadratic in corpus size and would ask
-    # for ~1e11 partitions at 1B vectors — the prefilter path may carry
-    # only a handful of candidate tiles anyway (review r2)
-    n_parts = min(
-        n_blocks * (n_blocks + 1) // 2,
-        max(64, 8 * emb.sparkSession.sparkContext.defaultParallelism),
-    )
     tiles = tiles.select(
         F.col("a.block").alias("block_a"),
         F.col("b.block").alias("block_b"),
         F.col("a.vecs").alias("vecs_a"),
         F.col("b.vecs").alias("vecs_b"),
-    ).repartition(n_parts)
+    ).repartition(_tile_partitions(n_blocks, emb))
 
     def unpack(rows: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
