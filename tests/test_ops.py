@@ -208,11 +208,12 @@ def test_dense_tiles_multiblock_regression(spark, docs, emb):
     from text_ocr_spark.ops.dedup import (
         _dense_jaccard_pairs,
         _probe_small_vocab,
+        _toks_of,
         embed_pairs,
         jaccard_pairs,
     )
 
-    vocab, n_docs = _probe_small_vocab(docs, 4096)
+    vocab, n_docs = _probe_small_vocab(_toks_of(docs), 4096)
     assert vocab is not None
     exact = {
         (r.doc_a, r.doc_b, r.jaccard)
@@ -232,6 +233,129 @@ def test_dense_tiles_multiblock_regression(spark, docs, emb):
         for r in embed_pairs(emb, block_size=64).collect()
     }
     assert multi_e == single and len(single) > 0
+
+
+def test_boilerplate_collapse_kills_hot_bands(spark):
+    """One text duplicated k=512 times (the 100 TB boilerplate regime,
+    VERDICT r2 top item): band-join candidate rows must be O(k) — here
+    O(#distinct texts) — never the O(k^2)=130816 hot-bucket explosion,
+    while the expanded pair output stays complete (all k(k-1)/2 pairs at
+    jaccard 1.0) and resolution yields one cluster. Forced LSH route
+    (dense_vocab_limit=0) per the scale-only-bug protocol."""
+    import pandas as pd
+
+    from text_ocr_spark.ops.dedup import (
+        minhash_candidates,
+        minhash_dedup,
+        neardup_resolve,
+        simhash_pairs,
+    )
+
+    k = 512
+    boiler = "terms of service apply to all mirrors of this web page " * 3
+    rows = [(i, boiler) for i in range(k)] + [
+        (k + i, f"unique document {i} alpha{i} beta{i} gamma{i} delta{i} eps{i}")
+        for i in range(8)
+    ]
+    docs512 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows],
+                      "text": [r[1] for r in rows]})
+    )
+
+    # rep-level candidates: the 512-copy group contributes ONE node
+    n_cand = minhash_candidates(docs512).count()
+    assert n_cand <= 9 * 8 // 2  # bounded by distinct-text pairs, << k^2
+
+    pairs = minhash_dedup(docs512, 0.95, dense_vocab_limit=0)
+    n_boiler_pairs = pairs.filter(
+        (pairs.doc_a < k) & (pairs.doc_b < k) & (pairs.jaccard == 1.0)
+    ).count()
+    assert n_boiler_pairs == k * (k - 1) // 2  # expansion is complete
+
+    resolved = neardup_resolve(docs512, 0.95, dense_vocab_limit=0)
+    verdicts = {r.doc_id: (r.cluster_id, r.is_dup) for r in resolved.collect()}
+    assert verdicts[0] == (0, 0)
+    assert all(verdicts[i] == (0, 1) for i in range(1, k))
+    assert all(verdicts[k + i][1] == 0 for i in range(8))
+
+    # simhash: same collapse; intra-group pairs all present at hamming 0
+    sh = simhash_pairs(docs512)
+    n_h0 = sh.filter((sh.doc_a < k) & (sh.doc_b < k) & (sh.hamming == 0)).count()
+    assert n_h0 == k * (k - 1) // 2
+
+
+def test_simhash_rep_banding_sees_one_row_per_group(spark):
+    """The banded self-join input after collapse is one simhash per
+    DISTINCT text: rep-level pair count is bounded by distinct texts."""
+    import pandas as pd
+
+    from text_ocr_spark.ops.dedup import _simhash_rep_pairs, collapse_exact
+
+    rows = [(i, "same boilerplate everywhere") for i in range(64)] + [
+        (100 + i, f"very different text number {i} zeta{i}") for i in range(4)
+    ]
+    docs64 = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows],
+                      "text": [r[1] for r in rows]})
+    )
+    reps, members = collapse_exact(docs64)
+    assert reps.count() == 5
+    assert members.count() == 68
+    assert _simhash_rep_pairs(reps).count() <= 5 * 4 // 2
+
+
+def test_minhash_auxiliary_actions_bounded(spark, docs, monkeypatch):
+    """Tokenize-once discipline (VERDICT r2 item 5): a minhash_dedup CALL
+    triggers at most the strategy probe as a driver-blocking auxiliary
+    action — 0 when the route is forced, 1 when the probe rejects dense,
+    2 (probe + bounded vocab collect) only on the small-vocab path.
+    Counted by patching the DataFrame action surface (AQE splits one
+    action into several jobs, so job counts are not the honest unit)."""
+    from text_ocr_spark.ops.dedup import minhash_dedup
+
+    cls = type(docs)  # the RUNTIME class (pyspark.sql.classic.DataFrame)
+    calls: list[str] = []
+    depth = {"d": 0}
+    for name in ("first", "head", "take", "collect", "count", "toPandas"):
+        orig = getattr(cls, name)
+
+        def wrap(self, *a, _orig=orig, _name=name, **kw):
+            top = depth["d"] == 0
+            depth["d"] += 1
+            try:
+                return _orig(self, *a, **kw)
+            finally:
+                depth["d"] -= 1
+                if top:
+                    calls.append(_name)
+
+        monkeypatch.setattr(cls, name, wrap)
+
+    minhash_dedup(docs, 0.95, dense_vocab_limit=0)  # forced LSH
+    assert calls == []
+    minhash_dedup(docs, 0.95, dense_vocab_limit=4)  # probe says big vocab
+    assert len(calls) == 1
+    calls.clear()
+    minhash_dedup(docs, 0.95)  # adaptive; dense on this corpus
+    assert len(calls) <= 2
+
+
+def test_embed_prefilter_recall_at_many_blocks(spark, emb):
+    """block_size=16 => 30+ blocks: the cross-block collision recall is
+    exercised far past EXHAUSTIVE_BLOCK_LIMIT and must still be exact on
+    this corpus (ADVICE r2: recall assertion beyond the 8-block case)."""
+    from text_ocr_spark.ops.dedup import embed_pairs
+
+    exhaustive = {
+        (r.vec_a, r.vec_b, r.cos)
+        for r in embed_pairs(emb, block_size=16, prefilter=False).collect()
+    }
+    pre = {
+        (r.vec_a, r.vec_b, r.cos)
+        for r in embed_pairs(emb, block_size=16, prefilter=True).collect()
+    }
+    assert pre == exhaustive
+    assert len(exhaustive) > 0
 
 
 def test_neardup_resolve_matches_union_find(spark, docs):
