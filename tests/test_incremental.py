@@ -1,0 +1,197 @@
+"""Incremental dedup against the persisted signature index: batch-union
+differential, the cluster-bridge (merge) case, two-wave index updates,
+and the plan gate proving delta cost never re-bands the corpus."""
+
+from __future__ import annotations
+
+import re
+import tempfile
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_TINY
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_TINY}/documents.parquet")
+
+
+def _verdicts(df):
+    return {r.doc_id: (r.cluster_id, r.keep_id, r.is_dup) for r in df.collect()}
+
+
+def test_incremental_matches_batch_union(spark, docs):
+    """incremental_resolve(delta | index(corpus)) == batch
+    neardup_resolve(corpus UNION delta) restricted to the delta — the
+    exactness contract, on the real corpus split the driver checks."""
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.dedup import neardup_resolve
+    from text_ocr_spark.ops.incremental import (
+        build_neardup_index,
+        incremental_resolve,
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    delta = docs.filter(F.col("doc_id") % 5 == 4)
+    tmp = tempfile.mkdtemp(prefix="inc_idx_")
+    build_neardup_index(corpus, tmp)
+    inc = _verdicts(incremental_resolve(spark, delta, tmp))
+    batch = {
+        k: v
+        for k, v in _verdicts(neardup_resolve(docs)).items()
+        if k % 5 == 4
+    }
+    assert inc == batch
+    assert len(inc) > 0
+
+
+def _mini_corpus(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows],
+                      "text": [r[1] for r in rows]})
+    )
+
+
+def _w(a: int, b: int, extra: str = "") -> str:
+    """Distinct-token text w{a}..w{b-1} (+ extras): jaccards are exact
+    set ratios, engineered >= 0.9 so the 32-band LSH candidate recall is
+    ~1 - 3e-16 — a bridge must sit at mid-jaccard to BOTH clusters, and
+    only >= ~0.9 keeps banding deterministic-in-practice (a 0.5-jaccard
+    bridge is outside the contract threshold regime)."""
+    return " ".join([f"w{i}" for i in range(a, b)]) + (f" {extra}" if extra else "")
+
+
+# two old clusters, disjoint at threshold 0.9:
+#   {10, 11}: w0..w39 vs w0..w38           (j = 39/40 = 0.975)
+#   {40, 41}: w0..w35+x1..x4 vs +x1..x3    (j = 39/40 = 0.975)
+#   cross:    j(10,40) = 36/44 = 0.818 < 0.9
+# bridge 70 = w0..w37 + x1 x2: j to BOTH clusters >= 0.90
+OLD_A1 = _w(0, 40)
+OLD_A2 = _w(0, 39)
+OLD_B1 = _w(0, 36, "x1 x2 x3 x4")
+OLD_B2 = _w(0, 36, "x1 x2 x3")
+BRIDGE = _w(0, 38, "x1 x2")
+THRESH = 0.9
+
+
+def test_incremental_bridges_old_clusters(spark):
+    """A delta doc near-dupping BOTH old clusters must merge them: its
+    verdict takes the global minimum across the two old components —
+    exactly what the batch union resolution would say."""
+    from text_ocr_spark.ops.dedup import neardup_resolve
+    from text_ocr_spark.ops.incremental import (
+        build_neardup_index,
+        incremental_resolve,
+    )
+
+    old = _mini_corpus(
+        spark,
+        [
+            (10, OLD_A1),
+            (11, OLD_A2),
+            (40, OLD_B1),
+            (41, OLD_B2),
+            (55, "totally unrelated words entirely disjoint vocabulary"),
+        ],
+    )
+    new = _mini_corpus(spark, [(70, BRIDGE), (71, "another unrelated doc")])
+
+    tmp = tempfile.mkdtemp(prefix="inc_bridge_")
+    build_neardup_index(old, tmp, threshold=THRESH)
+    inc = _verdicts(incremental_resolve(spark, new, tmp, threshold=THRESH))
+    union = old.unionByName(new)
+    batch = {
+        k: v
+        for k, v in _verdicts(neardup_resolve(union, threshold=THRESH)).items()
+        if k in (70, 71)
+    }
+    assert inc == batch
+    assert inc[70] == (10, 10, 1)  # merged component minimum
+    assert inc[71] == (71, 71, 0)
+
+
+def test_two_wave_update_index(spark):
+    """Wave B folds into the index (update_index), wave C then resolves
+    against the updated index: C's verdicts must equal the batch over
+    A UNION B UNION C — including a chain where C only touches B's text
+    and a case where B bridged two A-clusters (stale labels healed by
+    the appended merge edges)."""
+    from text_ocr_spark.ops.dedup import neardup_resolve
+    from text_ocr_spark.ops.incremental import (
+        build_neardup_index,
+        incremental_resolve,
+        update_index,
+    )
+
+    wave_a = _mini_corpus(
+        spark,
+        [
+            (10, OLD_A1),
+            (40, OLD_B1),
+            (55, "totally unrelated words entirely disjoint vocabulary"),
+        ],
+    )
+    # B: bridges A's two clusters AND introduces a brand-new text
+    wave_b = _mini_corpus(
+        spark,
+        [(70, BRIDGE), (71, "fresh subject matter here today")],
+    )
+    # C: exact copy of B's fresh text (hash shortcut), near-dup of the
+    # bridged component (j(BRIDGE, 81) = 39/40), and a singleton
+    wave_c = _mini_corpus(
+        spark,
+        [
+            (80, "fresh subject matter here today"),
+            (81, _w(0, 38, "x1")),
+            (82, "nothing matches this string anywhere"),
+        ],
+    )
+
+    tmp = tempfile.mkdtemp(prefix="inc_waves_")
+    build_neardup_index(wave_a, tmp, threshold=THRESH)
+    b_verdicts = _verdicts(update_index(spark, wave_b, tmp, threshold=THRESH))
+    c_verdicts = _verdicts(
+        incremental_resolve(spark, wave_c, tmp, threshold=THRESH)
+    )
+
+    union = wave_a.unionByName(wave_b).unionByName(wave_c)
+    batch = _verdicts(neardup_resolve(union, threshold=THRESH))
+    assert b_verdicts == {k: batch[k] for k in (70, 71)}
+    assert c_verdicts == {k: batch[k] for k in (80, 81, 82)}
+    # the healed chain: 81 joins the component B bridged (min = 10)
+    assert c_verdicts[81][0] == 10
+    assert c_verdicts[80] == (71, 71, 1)  # exact-hash shortcut to B's doc
+
+
+def test_incremental_plan_never_rebands_corpus(spark, docs):
+    """Delta cost is independent of corpus size: the ONLY Python stages
+    in the incremental pair plan are the delta's own band computations
+    (three MapInPandas references to the delta-reps subtree: the
+    index-probe side plus both sides of the delta self-join), and the
+    index enters as parquet scans. A corpus-sized re-banding would add
+    a MapInPandas whose child scans the index reps — the count pins
+    that out, and the index verification path is JVM-only tokens."""
+    from pyspark.sql import functions as F
+
+    from tests.test_plans import plan_str
+    from text_ocr_spark.ops.dedup import collapse_exact
+    from text_ocr_spark.ops.incremental import (
+        build_neardup_index,
+        incremental_edges,
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    delta = docs.filter(F.col("doc_id") % 5 == 4)
+    tmp = tempfile.mkdtemp(prefix="inc_plan_")
+    build_neardup_index(corpus, tmp)
+    n_reps, _ = collapse_exact(delta)
+    edges = incremental_edges(spark, n_reps, tmp)
+    p = plan_str(spark, edges)
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 3
+    assert f"{tmp}/bands" in p  # the index is JOINED, not recomputed
+    assert f"{tmp}/reps" in p  # verification reads stored texts (JVM)
+    # no Python evaluation anywhere else (index tokenization is JVM)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
