@@ -280,11 +280,9 @@ def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     of value (linear interpolation — identical semantics to DuckDB's
     quantile_cont, cross-checked to the double).
 
-    Exact percentile is the oracle-able face; at 100 TB swap in the
-    sketch twins — percentile_approx (t-digest-style, bounded memory,
-    mergeable) and approx_count_distinct (HLL) — which trade exactness
-    for one-pass mergeability (the dedup vocabulary probe already runs
-    HLL in production).
+    Exact percentile is the oracle-able face; ``events_quantiles_sketch``
+    below is the 100 TB twin — bounded-memory mergeable sketches whose
+    error bounds are pytest-gated at sf0.1 (VERDICT r2 item 4).
     """
     ev = _t(spark, sf_dir, "events")
     return (
@@ -293,6 +291,46 @@ def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
             F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
             F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+#: percentile_approx accuracy knob: the returned element's RANK is within
+#: n/SKETCH_ACCURACY of the requested one (Greenwald-Khanna bound) —
+#: pytest-gated against the exact percentiles at sf0.1.
+SKETCH_ACCURACY = 10_000
+#: HLL relative standard deviation for the distinct-user sketch; the
+#: pytest gate allows 4 standard deviations.
+SKETCH_RSD = 0.02
+
+
+def events_quantiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch twin of ``events_quantiles`` — the shape a 100 TB run uses.
+
+    percentile_approx is a bounded-memory mergeable rank sketch
+    (Greenwald-Khanna): each returned value's rank error is at most
+    n / SKETCH_ACCURACY (deterministic bound). approx_count_distinct is
+    HLL++ at rsd=SKETCH_RSD. Both aggregate map-side and merge, so one
+    pass, no sort, no full-value shuffle — vs the exact percentile's
+    per-group value collection.
+
+    A sketch cannot be contract-exact against an exact-SQL oracle; the
+    honest gate is the error-bound pytest
+    (tests/test_relational_sketch.py, run at sf0.1). The contract face
+    carries exact group counts (n) so the driver's rows-only check still
+    pins cardinality. Sorted output; deterministic for a fixed input and
+    partitioning.
+    """
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", F.lit(0.5), F.lit(SKETCH_ACCURACY)).alias("p50_sketch"),
+            F.percentile_approx("value", F.lit(0.9), F.lit(SKETCH_ACCURACY)).alias("p90_sketch"),
+            F.percentile_approx("value", F.lit(0.99), F.lit(SKETCH_ACCURACY)).alias("p99_sketch"),
+            F.approx_count_distinct("user_id", rsd=SKETCH_RSD).alias("n_users_sketch"),
             F.count("*").alias("n"),
         )
         .orderBy("event_type")
