@@ -149,6 +149,30 @@ def golden_knn_lsh(emb: pd.DataFrame) -> pd.DataFrame:
 
 
 # --------------------------------------------------------------------------
+# vertical (columnar) extraction — E4 transpose route
+# (spec: kernels/pdf.py extract_vertical over fixtures.build_vertical)
+# --------------------------------------------------------------------------
+
+def golden_vertical(docs: pd.DataFrame) -> pd.DataFrame:
+    """Row-at-a-time replay of the vertical-route extraction for every
+    pdf-kind doc at doc_id % 10 == 3 (same doc slice as the contract
+    query); pure Python, no Spark."""
+    from text_ocr_spark.fixtures import build_vertical
+    from text_ocr_spark.oracle import extract_turn
+
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        if int(doc_id) % 10 != 3:
+            continue
+        payload = build_vertical(int(doc_id), text or "")
+        kind, extracted, spans_json = extract_turn(payload, None)
+        rows.append((int(doc_id), kind, extracted, spans_json))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "kind", "extracted", "spans_json"]
+    )
+
+
+# --------------------------------------------------------------------------
 # multimodal feature stub (spec: ops/multimodal.py _fake_feature)
 # --------------------------------------------------------------------------
 
@@ -215,6 +239,16 @@ def main(sfs: list[str]) -> None:
                 ]
             ),
             f"fixturedata/golden_media_features_{sf}.parquet",
+        )
+        _write(
+            golden_vertical(docs),
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()), ("kind", pa.string()),
+                    ("extracted", pa.string()), ("spans_json", pa.string()),
+                ]
+            ),
+            f"fixturedata/golden_vertical_{sf}.parquet",
         )
         print(f"{sf} done in {time.time() - t0:.1f}s")
 

@@ -71,8 +71,11 @@ def test_every_query_has_oracle_or_reason():
 
     qs, os_ = set(e.queries()), set(e.oracle_sql())
     assert os_ <= qs
-    # since r2 every registered query carries an exact oracle
-    assert qs - os_ == set()
+    # since r2 every registered query carries an exact oracle, with ONE
+    # documented exception: sketches cannot be hash-exact, so the sketch
+    # twin is rows-only by design and its real gate is the error-bound
+    # pytest (tests/test_relational_sketch.py)
+    assert qs - os_ == {"events_quantiles_sketch"}
 
 
 @pytest.mark.parametrize("name", SUBSET)

@@ -144,6 +144,19 @@ def build_ocr(doc_id: int, text: str) -> str:
     return "\n\n".join(blocks)
 
 
+def build_vertical(doc_id: int, text: str) -> str:
+    """Columnar glyph dump — ``build_pdf``'s layout with every glyph's
+    axes swapped (x<->y, w<->h): text flows top-to-bottom in columns,
+    the vertical-recognizer regime the reference reaches via its
+    tall-box rotate (E4). Pure function of (doc_id, text); the committed
+    golden replays it with zero Spark."""
+    out: list[str] = []
+    for line in build_pdf(doc_id, text).split("\n"):
+        _tag, x, y, w, h, ch = line.split(" ")
+        out.append(f"G {y} {x} {h} {w} {ch}")
+    return "\n".join(out)
+
+
 def build_plain(doc_id: int, text: str) -> str:
     words = text.split()
     out: list[str] = []

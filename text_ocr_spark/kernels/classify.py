@@ -2,10 +2,14 @@
 
 The reference routes crops through a 4-class ShuffleNet angle head
 (ocrcvlib/src/main/cpp/jni/ocr.cpp:428-452) to pick the recognizer; the
-graft routes payloads through a rule cascade {empty, pdf, html, ocr, plain}
-to pick the extractor. Content sniffing is authoritative; the ``tool``
-column hint only breaks the ocr-vs-plain tie (FIXTURES.md makes ~5% of
-hints deliberately wrong). The reference's argmax bug
+graft routes payloads through a rule cascade {empty, pdf, vertical,
+html, ocr, plain} to pick the extractor. ``vertical`` is the E4 analog:
+the reference sends tall crops through a 90-degree rotate into a
+vertical recognizer (ocrcvlib/src/main/cpp/jni/ocr.cpp:422,479); here a
+glyph dump whose flow runs top-to-bottom (columns) routes to the
+transpose-then-extract path. Content sniffing is authoritative; the
+``tool`` column hint only breaks the ocr-vs-plain tie (FIXTURES.md
+makes ~5% of hints deliberately wrong). The reference's argmax bug
 (ocrcvlib/.../ocr.cpp:448 compares value to index) is NOT replicated —
 this cascade is a correct priority order (SURVEY.md §4.3).
 """
@@ -15,6 +19,12 @@ from __future__ import annotations
 import re
 
 _GLYPH_LINE_RE = re.compile(r"(?m)^G -?[0-9]")
+_GLYPH_COORD_RE = re.compile(
+    r"(?m)^G (-?[0-9]+(?:\.[0-9]+)?) (-?[0-9]+(?:\.[0-9]+)?) "
+)
+#: glyph pairs sampled for the flow vote — enough for a stable majority,
+#: O(1) regardless of payload size
+_FLOW_SAMPLE = 48
 _TAG_RE = re.compile(r"</?[a-zA-Z][a-zA-Z0-9]*(?:\s[^>]*)?>")
 _OCR_ARTIFACT_RE = re.compile(
     "[\\ufb00-\\ufb06"            # ligatures ff..st
@@ -28,12 +38,34 @@ _STUTTER_RE = re.compile(r"(\S)\1{2,}")
 _OCR_HINTS = frozenset({"ocr", "ocr_read", "screenshot_ocr"})
 
 
+def _glyph_flow_is_vertical(text: str) -> bool:
+    """Majority vote over consecutive sampled glyphs: same-x/advancing-y
+    steps (top-to-bottom column flow) vs same-y/advancing-x steps
+    (normal line flow). The tall-box aspect test of the reference
+    (crop h > 1.5 w triggers the rotate route) expressed on glyph runs.
+    """
+    xs: list[float] = []
+    ys: list[float] = []
+    for m in _GLYPH_COORD_RE.finditer(text):
+        xs.append(float(m.group(1)))
+        ys.append(float(m.group(2)))
+        if len(xs) >= _FLOW_SAMPLE:
+            break
+    vert = horiz = 0
+    for i in range(1, len(xs)):
+        if xs[i] == xs[i - 1] and ys[i] > ys[i - 1]:
+            vert += 1
+        elif ys[i] == ys[i - 1] and xs[i] > xs[i - 1]:
+            horiz += 1
+    return vert > horiz
+
+
 def classify_payload(text: str | None, tool: str | None = None) -> str:
-    """-> one of {'empty','pdf','html','ocr','plain'}."""
+    """-> one of {'empty','pdf','vertical','html','ocr','plain'}."""
     if text is None or text.strip() == "":
         return "empty"
     if text.startswith("%PDF") or len(_GLYPH_LINE_RE.findall(text)) >= 3:
-        return "pdf"
+        return "vertical" if _glyph_flow_is_vertical(text) else "pdf"
     if len(_TAG_RE.findall(text)) >= 2:
         return "html"
     if _OCR_ARTIFACT_RE.search(text) or _STUTTER_RE.search(text):

@@ -22,7 +22,7 @@ from text_ocr_spark.kernels.constants import (
 from text_ocr_spark.kernels.html import extract_html
 from text_ocr_spark.kernels.normalize import normalize_text
 from text_ocr_spark.kernels.ocr_dump import extract_ocr
-from text_ocr_spark.kernels.pdf import extract_pdf
+from text_ocr_spark.kernels.pdf import extract_pdf, extract_vertical
 
 _NONWS_RE = re.compile(r"\S")
 
@@ -60,6 +60,7 @@ def extract_plain(payload: str) -> tuple[str, list[tuple[int, int]]]:
 _EXTRACTORS = {
     "html": extract_html,
     "pdf": extract_pdf,
+    "vertical": extract_vertical,  # E4 transpose-then-extract route
     "ocr": extract_ocr,
     "plain": extract_plain,
 }
@@ -107,7 +108,15 @@ def pad_spans(
 ) -> list[tuple[int, int]]:
     """Grow each span by ``int(len * pad_frac)`` context chars per side
     (the reference's truncating int math), clamped to [0, n]; re-sorted
-    so the sorted-by-start invariant survives unequal growth."""
+    so the sorted-by-start invariant survives unequal growth.
+
+    CONTRACT NOTE (ADVICE r2): padded spans may OVERLAP or NEST — the
+    reference's crop-box grow does exactly the same on adjacent boxes
+    and recognizes the overlap twice — and after the re-sort a
+    containing span can precede a contained one (pinned by
+    tests/test_windowing.py). Only sorted-by-start and 0<=s<=e<=n are
+    guaranteed; consumers that need disjoint coverage must merge
+    (unpadded spans, the default, ARE disjoint)."""
     if pad_frac <= 0:
         return spans
     out = []

@@ -183,7 +183,30 @@ def _x_overlap(a: Line, b: Line) -> float:
 
 def extract_pdf(payload: str) -> tuple[str, list[tuple[int, int]]]:
     """payload -> (normalized text in reading order, raw-offset spans)."""
-    glyphs = parse_glyphs(payload)
+    return _extract_from_glyphs(parse_glyphs(payload))
+
+
+def extract_vertical(payload: str) -> tuple[str, list[tuple[int, int]]]:
+    """Vertical/columnar glyph dump -> text, via transpose-then-extract.
+
+    The reference routes tall crops through a 90-degree rotate into the
+    horizontal recognizer (ocrcvlib/src/main/cpp/jni/ocr.cpp:422,479 —
+    the E4 tall-box path; ocrlib angle-class 2/3 rotations are the same
+    move). The graft's analog: swap each glyph's axes (x<->y, w<->h) so
+    top-to-bottom columns become left-to-right lines, then run the
+    standard clustering/ordering pipeline. Spans keep the glyphs' RAW
+    payload offsets, untouched by the transpose.
+    """
+    glyphs = [
+        Glyph(g.y, g.x, g.h, g.w, g.ch, g.start, g.end)
+        for g in parse_glyphs(payload)
+    ]
+    return _extract_from_glyphs(glyphs)
+
+
+def _extract_from_glyphs(
+    glyphs: list[Glyph],
+) -> tuple[str, list[tuple[int, int]]]:
     if not glyphs:
         return "", []
     h_med = _median([g.h for g in glyphs])

@@ -478,6 +478,49 @@ def conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def extract_vertical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 contract surface: the vertical (columnar) twin of every
+    pdf-kind document at doc_id % 10 == 3, extracted end-to-end through
+    the transpose route (kernels/pdf.py extract_vertical; ref tall-box
+    rotate ocrcvlib/src/main/cpp/jni/ocr.cpp:422,479).
+
+    Lives OUTSIDE the main transcripts fixture so every existing golden
+    stays byte-identical; the oracle is a committed pure-Python golden
+    (scripts/gen_op_golden.py) over the same deterministic payloads.
+    """
+    from text_ocr_spark.fixtures import build_vertical
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 10 == 3)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            kinds: list[str] = []
+            texts: list[str] = []
+            spans: list[str] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                payload = build_vertical(int(doc_id), text or "")
+                kind, extracted, sp = extract_payload(payload, None)
+                ids.append(int(doc_id))
+                kinds.append(kind)
+                texts.append(extracted)
+                spans.append(spans_to_json(sp))
+            yield pd.DataFrame(
+                {"doc_id": ids, "kind": kinds, "extracted": texts,
+                 "spans_json": spans}
+            )
+
+    return docs.repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(
+        gen, schema="doc_id long, kind string, extracted string, spans_json string"
+    )
+
+
 def extract_spans_debug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debug-sink analog (SURVEY.md §2 A7: per-region overlay rows):
     one row per extracted span, JVM-side posexplode of the typed span
