@@ -10,6 +10,10 @@ Queries timed (post-warmup of the Spark session):
 - knn_topk:     brute-force cosine top-k over embeddings
 - q1:           TPC-H Q1 shape over lineitem
 - token_stats:  JVM-only text analysis sweep
+- curate:       the end-to-end capstone (extract -> scrub -> quality
+                floor -> first-occurrence dedup in ONE DAG); its
+                single-Arrow-stage plan is re-asserted at bench scale
+                before timing
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_REPEAT (default
 4), SPARK_GRAFT_PARTITIONS (default 4x cpus).
@@ -32,6 +36,7 @@ def main() -> int:
 
     from pyspark.sql import functions as F
 
+    from text_ocr_spark.ops.curate import curate_corpus
     from text_ocr_spark.ops.dedup import minhash_dedup
     from text_ocr_spark.ops.relational import q1_pricing_summary
     from text_ocr_spark.ops.similarity import brute_topk
@@ -88,11 +93,28 @@ def main() -> int:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
+    # plan gate at BENCH scale: the curate capstone must still be one
+    # exchange + one Arrow stage here, not just at the pytest SF
+    import re as _re
+
+    em = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    curate_plan = (
+        curate_corpus(spark, sf_dir)._jdf.queryExecution().explainString(em)
+    )
+    n_arrow = len(_re.findall(r"\(\d+\) MapInPandas", curate_plan))
+    if n_arrow != 1:
+        raise RuntimeError(
+            f"curate plan regressed: {n_arrow} Arrow stages (want 1)"
+        )
+
     timed("extract", run_extract)
     timed("dedup_minhash", lambda: minhash_dedup(docs).count())
     timed("knn_topk", lambda: brute_topk(emb).count())
     timed("q1", lambda: q1_pricing_summary(spark, sf_dir).count())
     timed("token_stats", lambda: token_stats(docs).count())
+    timed("curate", lambda: curate_corpus(spark, sf_dir).count())
 
     total = round(sum(timings.values()), 3)
     turns_per_sec = round(extra.get("turns", 0) / max(timings["extract"], 1e-9), 1)

@@ -71,8 +71,16 @@ def submit_extract_job(
     t0 = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True, check=True)
     wall = time.time() - t0
-    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
-    rec = json.loads(line)
+    json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    if not json_lines:
+        # a zero-exit job without a JSON record (or one that printed to
+        # stderr) must surface its output, not a bare IndexError
+        raise RuntimeError(
+            "extract job printed no JSON record;"
+            f" stdout tail: {proc.stdout[-500:]!r}"
+            f" stderr tail: {proc.stderr[-500:]!r}"
+        )
+    rec = json.loads(json_lines[-1])
     rec["wall_total"] = round(wall, 2)
     rec["git_rev"] = git_rev()
     return rec

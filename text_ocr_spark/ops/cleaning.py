@@ -22,6 +22,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+#: deliberately permissive (ADVICE r2): accepts out-of-range octets
+#: (999.999.999.999) and matches the first four octets of longer dotted
+#: runs like version strings (1.2.3.4.5 -> masks "1.2.3.4"). The
+#: over-match is the CC-Net-style recall-first trade; the per-octet
+#: range alternation (25[0-5]|2[0-4][0-9]|1?[0-9]{1,2}) is NOT used
+#: because leftmost-first (Java) vs leftmost-longest (RE2) alternation
+#: semantics could silently diverge between Spark and the DuckDB oracle.
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 #: whitespace class common to Java regex and RE2 (Java \s includes \x0B,
 #: RE2's does not — \s would silently diverge between Spark and DuckDB)

@@ -233,7 +233,7 @@ def update_index(
     p = _paths(path)
     groups = spark.read.parquet(p["groups"])
 
-    n_reps, _ = collapse_exact(new_docs)
+    n_reps, n_members = collapse_exact(new_docs)
     edges = incremental_edges(spark, n_reps, path, threshold)
     resolved = resolve_pairs(
         n_reps.select("doc_id"),
@@ -277,7 +277,6 @@ def update_index(
     unmatched.select("rep_id", "text").write.mode("append").parquet(p["reps"])
     old_touch.write.mode("append").parquet(p["merges"])
 
-    n_members = collapse_exact(new_docs)[1]
     return n_members.join(resolved, "rep_id").select(
         "doc_id",
         "cluster_id",
