@@ -13,6 +13,25 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF = "/root/testdata/sf0.001"
 
 
+def _incremental_edges_df(spark, docs):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.dedup import collapse_exact
+    from text_ocr_spark.ops.incremental import (
+        build_neardup_index,
+        incremental_edges,
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    delta = docs.filter(F.col("doc_id") % 5 == 4)
+    tmp = tempfile.mkdtemp(prefix="plans_idx_")
+    build_neardup_index(corpus, tmp)
+    n_reps, _ = collapse_exact(delta)
+    return incremental_edges(spark, n_reps, tmp)
+
+
 def main() -> int:
     from text_ocr_spark.ops.dedup import embed_pairs, minhash_dedup
     from text_ocr_spark.ops.joins import purchase_error_window, purchases_asof_view
@@ -130,11 +149,37 @@ def main() -> int:
         ),
         (
             "minhash_dedup (dense strategy at this corpus)",
-            "Vocab probe routed to the dense bitset kernel: one masks "
-            "mapInPandas, a tiny blocks aggregate, the block-pair tile "
-            "cross join (B(B+1)/2 rows), and the popcount tile kernel. "
-            "Token arrays never shuffle.",
+            "Exact-dup collapse (groupBy md5(text), map-side combined; the "
+            "collapse exchange computes once and is ReuseExchange'd by "
+            "every downstream reference), vocab probe routed to the dense "
+            "bitset kernel: one masks mapInPandas, a tiny blocks "
+            "aggregate, the block-pair tile cross join (B(B+1)/2 rows), "
+            "the popcount tile kernel, then the verified rep pairs expand "
+            "through the membership joins. Token arrays never shuffle.",
             minhash_dedup(docs),
+        ),
+        (
+            "minhash_dedup (forced LSH banding, collapse-first)",
+            "The 100 TB text path: collapse exact duplicates to one "
+            "representative per md5(text) (so the band self-join sees ONE "
+            "signature per distinct text — million-copy boilerplate can "
+            "never form an O(k^2) hot bucket), band signatures via one "
+            "mapInPandas, bucket self-join, JVM exact-jaccard verify, "
+            "then expansion of verified pairs through the exact-dup "
+            "groups (the quadratic duplication term lives only in this "
+            "final membership equi-join, not in any band bucket).",
+            minhash_dedup(docs, dense_vocab_limit=0),
+        ),
+        (
+            "incremental dedup delta probe (index side joins only)",
+            "Delta reps band via MapInPandas (delta-sized Python only: "
+            "the probe side plus both arms of the delta self-join); the "
+            "persisted corpus index enters as parquet SCANS joined on "
+            "(band, band_key) / text_hash / rep_id — the corpus is never "
+            "re-banded or re-tokenized beyond the colliding candidates' "
+            "stored texts (JVM tokens_col). Delta cost is independent of "
+            "corpus size.",
+            _incremental_edges_df(spark, docs),
         ),
     ]
 

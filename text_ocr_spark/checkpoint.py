@@ -18,9 +18,12 @@ On an Iceberg catalog the same interface rides snapshot isolation
 instead of directory renames: ``snapshot_id`` pins the input version
 (``spark.read.option("snapshot-id", ...)``), chunks prune via the
 table's ``bucket(conv_id, N)`` partition transform, and commits append
-to the output table + metrics table in one transaction. This sandbox
-has no iceberg-spark runtime jar, so the parquet-dir implementation is
-the tested path and the Iceberg calls are gated (sources.py).
+to the output table + metrics table in one transaction. DESIGN INTENT,
+NOT VERIFIED BEHAVIOR: no iceberg-spark runtime jar exists anywhere in
+this sandbox (filesystem-wide search; no network), so the Iceberg code
+paths have never executed here — the parquet-dir implementation is the
+tested path and the Iceberg calls are gated (sources.py, STATUS.md
+"Iceberg" note).
 """
 
 from __future__ import annotations
