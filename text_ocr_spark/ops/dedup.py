@@ -135,19 +135,19 @@ def collapse_exact(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     recompute above a reused exchange), and the same reuse applies on a
     real cluster.
     """
+    # aggregate LONGS only: min_by/max over the text column demotes the
+    # groupBy to SortAggregate (full sort of text rows on both sides of
+    # the exchange); min(doc_id) keeps it a map-side-combined
+    # HashAggregate, and rep text rides a doc_id semi join instead
     hashed = docs.select(
-        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash"), "text"
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash")
     )
-    reps = hashed.groupBy("text_hash").agg(
-        F.min("doc_id").alias("rep_id"),
-        F.min_by("text", "doc_id").alias("text"),
+    keep = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("rep_id"))
+    members = hashed.join(keep, "text_hash").select("doc_id", "rep_id")
+    reps = docs.select("doc_id", "text").join(
+        keep.select(F.col("rep_id").alias("doc_id")), "doc_id", "leftsemi"
     )
-    members = (
-        hashed.select("doc_id", "text_hash")
-        .join(reps.select("text_hash", "rep_id"), "text_hash")
-        .select("doc_id", "rep_id")
-    )
-    return reps.select(F.col("rep_id").alias("doc_id"), "text"), members
+    return reps, members
 
 
 def _toks_of(docs: DataFrame) -> DataFrame:
