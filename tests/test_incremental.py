@@ -166,6 +166,74 @@ def test_two_wave_update_index(spark):
     assert c_verdicts[80] == (71, 71, 1)  # exact-hash shortcut to B's doc
 
 
+def test_incremental_edge_cases(spark):
+    """Empty delta -> empty verdicts; all-exact-match delta -> every doc
+    adopts its old cluster verdict without any banding candidates."""
+    from text_ocr_spark.ops.incremental import (
+        build_neardup_index,
+        incremental_resolve,
+    )
+
+    old = _mini_corpus(
+        spark, [(10, OLD_A1), (11, OLD_A1), (40, OLD_B1)]
+    )  # 10,11 exact dups
+    tmp = tempfile.mkdtemp(prefix="inc_edge_")
+    build_neardup_index(old, tmp, threshold=THRESH)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert incremental_resolve(spark, empty, tmp, threshold=THRESH).count() == 0
+
+    # exact copies of old texts only: hash shortcut, no banding needed
+    exact_delta = _mini_corpus(spark, [(90, OLD_A1), (91, OLD_B1)])
+    got = _verdicts(incremental_resolve(spark, exact_delta, tmp, THRESH))
+    assert got == {90: (10, 10, 1), 91: (40, 40, 1)}
+
+
+def test_stream_dedup_incremental_three_waves(spark):
+    """The streaming surface: three waves land as files, each availableNow
+    run folds its wave into the index via foreachBatch(update_index).
+    Every wave's emitted verdicts must equal the batch resolution of the
+    union-so-far restricted to that wave — including the wave-B bridge
+    and the wave-C merge-edge healing."""
+    import tempfile
+
+    from text_ocr_spark.ops.dedup import neardup_resolve
+    from text_ocr_spark.ops.incremental import init_neardup_index
+    from text_ocr_spark.streaming import stream_dedup_incremental
+
+    waves = [
+        [(10, OLD_A1), (40, OLD_B1),
+         (55, "totally unrelated words entirely disjoint vocabulary")],
+        [(70, BRIDGE), (71, "fresh subject matter here today")],
+        [(80, "fresh subject matter here today"), (81, _w(0, 38, "x1")),
+         (82, "nothing matches this string anywhere")],
+    ]
+
+    tmp = tempfile.mkdtemp(prefix="stream_inc_")
+    src, idx, out, ckpt = (f"{tmp}/{d}" for d in ("src", "idx", "out", "ckpt"))
+    init_neardup_index(spark, idx)
+
+    for wave in waves:
+        _mini_corpus(spark, wave).repartition(1).write.mode("append").parquet(src)
+        q = stream_dedup_incremental(
+            spark, src, idx, out, ckpt, threshold=THRESH
+        )
+        q.awaitTermination(180)
+
+    ledger = {
+        r.doc_id: (r.cluster_id, r.keep_id, r.is_dup)
+        for r in spark.read.parquet(out).collect()
+    }
+    seen: list[tuple[int, str]] = []
+    for wave in waves:
+        seen += wave
+        union = _mini_corpus(spark, seen)
+        batch = _verdicts(neardup_resolve(union, threshold=THRESH))
+        for doc_id, _ in wave:
+            assert ledger[doc_id] == batch[doc_id], (doc_id, ledger[doc_id])
+    assert len(ledger) == sum(len(w) for w in waves)
+
+
 def test_incremental_plan_never_rebands_corpus(spark, docs):
     """Delta cost is independent of corpus size: the ONLY Python stages
     in the incremental pair plan are the delta's own band computations

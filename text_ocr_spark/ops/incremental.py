@@ -115,6 +115,14 @@ def build_neardup_index(
     )
 
 
+def init_neardup_index(spark: SparkSession, path: str) -> None:
+    """Bootstrap an EMPTY index (stream-from-scratch): the first
+    ``update_index`` micro-batch then behaves as the initial build."""
+    build_neardup_index(
+        spark.createDataFrame([], "doc_id long, text string"), path
+    )
+
+
 def incremental_edges(
     spark: SparkSession,
     new_reps: DataFrame,

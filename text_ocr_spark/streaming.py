@@ -172,6 +172,61 @@ def conversation_state_stream(
     return writer.start()
 
 
+def stream_dedup_incremental(
+    spark: SparkSession,
+    input_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    threshold: float = 0.95,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous corpus dedup: every micro-batch of documents resolves
+    against — and folds into — the persisted near-dup index
+    (ops/incremental.py), emitting keep/drop verdicts per arriving doc.
+
+    This is the training-pipeline composition of A10 and the incremental
+    index: the reference precedent is per-frame incremental work against
+    fixed engine state (CameraImpl.java:258-262); here the "state" is
+    the band index, which GROWS with each batch (update_index appends
+    the batch's new signatures plus cluster-merge edges).
+
+    Bootstrap with ``init_neardup_index`` (empty corpus) or
+    ``build_neardup_index`` (existing corpus). Replay safety: a
+    checkpoint-replayed micro-batch re-appends its index rows, which
+    degrades index size but NOT correctness — every index consumer
+    dedups (candidates .distinct(), resolve edges .distinct()) — and
+    the verdict sink is epoch-overwrite idempotent; on Iceberg the
+    appends ride one transaction per batch instead.
+
+    A doc's verdict reflects the corpus AS OF its arrival batch: batch
+    resolve over union(all earlier batches + its own), restricted to
+    the batch — pytest- and oracle-pinned per wave.
+    """
+    from text_ocr_spark.ops.incremental import update_index
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        verdicts = update_index(
+            spark,
+            batch_df.select("doc_id", "text"),
+            index_dir,
+            threshold,
+        ).withColumn("epoch_id", F.lit(epoch_id))
+        write_epoch(verdicts, out_dir)
+
+    writer = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_turn_rates(
     spark: SparkSession,
     input_dir: str,
