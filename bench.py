@@ -95,15 +95,9 @@ def main() -> int:
 
     # plan gate at BENCH scale: the curate capstone must still be one
     # exchange + one Arrow stage here, not just at the pytest SF
-    import re as _re
+    from text_ocr_spark.plans import count_arrow_stages
 
-    em = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    curate_plan = (
-        curate_corpus(spark, sf_dir)._jdf.queryExecution().explainString(em)
-    )
-    n_arrow = len(_re.findall(r"\(\d+\) MapInPandas", curate_plan))
+    n_arrow = count_arrow_stages(curate_corpus(spark, sf_dir))
     if n_arrow != 1:
         raise RuntimeError(
             f"curate plan regressed: {n_arrow} Arrow stages (want 1)"

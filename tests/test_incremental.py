@@ -218,7 +218,8 @@ def test_stream_dedup_incremental_three_waves(spark):
         q = stream_dedup_incremental(
             spark, src, idx, out, ckpt, threshold=THRESH
         )
-        q.awaitTermination(180)
+        assert q.awaitTermination(180)  # overlap on a timeout would
+        # corrupt the as-of order; fail the test instead
 
     ledger = {
         r.doc_id: (r.cluster_id, r.keep_id, r.is_dup)

@@ -284,6 +284,56 @@ def test_boilerplate_collapse_kills_hot_bands(spark):
     assert n_h0 == k * (k - 1) // 2
 
 
+def test_null_text_docs_stay_singletons(spark):
+    """NULL-text docs must neither vanish from the verdicts (NULL md5
+    keys never equi-join — review finding r3) nor cluster with each
+    other (null is not a text; the SQL oracles keep them singleton)."""
+    import pandas as pd
+
+    from text_ocr_spark.ops.dedup import (
+        collapse_exact,
+        minhash_dedup,
+        neardup_resolve,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [None, None, "alpha beta gamma delta", "alpha beta gamma delta"],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    reps, members = collapse_exact(docs)
+    assert members.count() == 4  # nobody dropped
+    assert reps.count() == 3  # two nulls = two singleton groups, one text pair
+
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_dedup(docs, 0.95).collect()}
+    assert pairs == {(3, 4)}  # no null-null pair
+
+    got = {
+        r.doc_id: (r.cluster_id, r.is_dup)
+        for r in neardup_resolve(docs, 0.95).collect()
+    }
+    assert got == {1: (1, 0), 2: (2, 0), 3: (3, 0), 4: (3, 1)}
+
+
+def test_degenerate_single_column_horizontal_stays_pdf():
+    """One tall glyph per line at a fixed left margin LOOKS columnar by
+    flow but its glyphs are taller than wide — the aspect guard must
+    keep it on the pdf route (review finding r3), while a genuine
+    vertical dump (wide, rotated glyph boxes) still routes vertical."""
+    from text_ocr_spark.kernels.classify import classify_payload
+
+    degenerate = "\n".join(
+        f"G 10.0 {14.0 * i:.1f} 6.0 10.0 {ch}" for i, ch in enumerate("abcdef")
+    )
+    assert classify_payload(degenerate) == "pdf"
+    genuine = "\n".join(
+        f"G 10.0 {14.0 * i:.1f} 10.0 6.0 {ch}" for i, ch in enumerate("abcdef")
+    )
+    assert classify_payload(genuine) == "vertical"
+
+
 def test_simhash_rep_banding_sees_one_row_per_group(spark):
     """The banded self-join input after collapse is one simhash per
     DISTINCT text: rep-level pair count is bounded by distinct texts."""

@@ -16,8 +16,10 @@ from tests.conftest import SF_TINY
 
 
 def plan_str(spark, df, mode: str = "formatted") -> str:
-    em = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
-    return df._jdf.queryExecution().explainString(em)
+    # thin wrapper over the shared helper (one explain recipe everywhere)
+    from text_ocr_spark.plans import plan_str as _ps
+
+    return _ps(df, mode)
 
 
 def test_q1_filter_pushdown_and_pruning(spark):

@@ -21,6 +21,7 @@ import re
 _GLYPH_LINE_RE = re.compile(r"(?m)^G -?[0-9]")
 _GLYPH_COORD_RE = re.compile(
     r"(?m)^G (-?[0-9]+(?:\.[0-9]+)?) (-?[0-9]+(?:\.[0-9]+)?) "
+    r"(-?[0-9]+(?:\.[0-9]+)?) (-?[0-9]+(?:\.[0-9]+)?) "
 )
 #: glyph pairs sampled for the flow vote — enough for a stable majority,
 #: O(1) regardless of payload size
@@ -39,16 +40,31 @@ _OCR_HINTS = frozenset({"ocr", "ocr_read", "screenshot_ocr"})
 
 
 def _glyph_flow_is_vertical(text: str) -> bool:
-    """Majority vote over consecutive sampled glyphs: same-x/advancing-y
-    steps (top-to-bottom column flow) vs same-y/advancing-x steps
-    (normal line flow). The tall-box aspect test of the reference
-    (crop h > 1.5 w triggers the rotate route) expressed on glyph runs.
+    """Two independent signals must BOTH vote vertical:
+
+    1. flow — consecutive sampled glyphs mostly share x and advance y
+       (top-to-bottom column flow) rather than share y and advance x;
+    2. aspect — sampled glyphs are wider than tall on balance (a
+       rotated-into-the-file glyph box has its w/h swapped) — the
+       reference's own tall-box aspect discriminator (crop h > 1.5 w
+       triggers its rotate route) applied per glyph.
+
+    The aspect guard keeps degenerate horizontal dumps with one glyph
+    per line at a fixed left margin (flow looks columnar, glyphs are
+    taller than wide) on the pdf route (review finding r3); square
+    glyphs break ties toward 'pdf', the safe default.
     """
     xs: list[float] = []
     ys: list[float] = []
+    wide = tall = 0
     for m in _GLYPH_COORD_RE.finditer(text):
         xs.append(float(m.group(1)))
         ys.append(float(m.group(2)))
+        w, h = float(m.group(3)), float(m.group(4))
+        if w > h:
+            wide += 1
+        elif h > w:
+            tall += 1
         if len(xs) >= _FLOW_SAMPLE:
             break
     vert = horiz = 0
@@ -57,7 +73,7 @@ def _glyph_flow_is_vertical(text: str) -> bool:
             vert += 1
         elif ys[i] == ys[i - 1] and xs[i] > xs[i - 1]:
             horiz += 1
-    return vert > horiz
+    return vert > horiz and wide > tall
 
 
 def classify_payload(text: str | None, tool: str | None = None) -> str:

@@ -139,9 +139,7 @@ def collapse_exact(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     # groupBy to SortAggregate (full sort of text rows on both sides of
     # the exchange); min(doc_id) keeps it a map-side-combined
     # HashAggregate, and rep text rides a doc_id semi join instead
-    hashed = docs.select(
-        "doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash")
-    )
+    hashed = docs.select("doc_id", text_hash_col().alias("text_hash"))
     keep = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("rep_id"))
     members = hashed.join(keep, "text_hash").select("doc_id", "rep_id")
     reps = docs.select("doc_id", "text").join(
@@ -152,6 +150,40 @@ def collapse_exact(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def _toks_of(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", tokens_col().alias("toks"))
+
+
+def text_hash_col() -> F.Column:
+    """Exact-dup group key: md5(text), with NULL texts mapped to a
+    per-doc sentinel so each null-text doc forms its OWN singleton group
+    (md5(NULL) is NULL, and NULL equi-join keys never match — without
+    the sentinel, null-text docs silently vanish from members/verdicts).
+    Per-doc (not shared) because null is not a text: two null payloads
+    are not near-dups in the oracle's token model, matching the SQL
+    oracles where null docs stay singleton."""
+    return F.coalesce(
+        F.md5(F.col("text").cast("binary")),
+        F.concat(F.lit("null:"), F.col("doc_id").cast("string")),
+    )
+
+
+def verified_jaccard(
+    cand: DataFrame, ta: DataFrame, tb: DataFrame, threshold: float
+) -> DataFrame:
+    """cand(doc_a, doc_b) x token projections (doc_a, toks_a)/(doc_b,
+    toks_b) -> pairs passing exact token-set jaccard >= threshold (JVM
+    array ops, no Python). SINGLE source of the verification semantics
+    for the batch LSH route and the incremental delta probes — the
+    equivalence proofs depend on both using the identical expression."""
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("toks_a", "toks_b"))
+            / F.size(F.array_union("toks_a", "toks_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def _expand_rep_pairs(
@@ -551,16 +583,8 @@ def _rep_neardup_pairs(
     cand = _band_candidates(toks_df)
     ta = toks_df.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = toks_df.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("toks_a", "toks_b"))
-            / F.size(F.array_union("toks_a", "toks_b")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    return verified_jaccard(cand, ta, tb, threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 

@@ -49,13 +49,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from text_ocr_spark.ops.dedup import (
+    DENSE_VOCAB_LIMIT,
     _band_candidates,
+    _rep_neardup_pairs,
     _toks_of,
     band_signatures,
     collapse_exact,
-    neardup_resolve,
     resolve_pairs,
+    text_hash_col,
     tokens_col,
+    verified_jaccard,
 )
 
 _PARTS = ("bands", "groups", "reps", "merges")
@@ -65,51 +68,46 @@ def _paths(path: str) -> dict[str, str]:
     return {p: f"{path}/{p}" for p in _PARTS}
 
 
-def _verified_jaccard(
-    cand: DataFrame, ta: DataFrame, tb: DataFrame, threshold: float
-) -> DataFrame:
-    """cand(doc_a, doc_b) x token projections -> pairs passing exact
-    token-set jaccard >= threshold (JVM array ops, no Python)."""
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("toks_a", "toks_b"))
-            / F.size(F.array_union("toks_a", "toks_b")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-    )
-
-
 def build_neardup_index(
     docs: DataFrame, path: str, threshold: float = 0.95
 ) -> None:
-    """Batch-resolve ``docs`` and persist the probe index at ``path``."""
+    """Batch-resolve ``docs`` and persist the probe index at ``path``.
+
+    Materialize-once build: the collapse shuffle runs exactly once (for
+    the reps write); bands, the rep-level pair verification, and the
+    cluster resolution all derive from RE-READING the written reps
+    parquet — ReuseExchange only applies within one query, and the four
+    index writes are separate jobs, so deriving them from the collapse
+    subtree directly would re-run the corpus shuffle per write (review
+    finding r3). Resolution happens at the rep level (groups only need
+    the rep's cluster verdict; each rep IS its group's minimum, so the
+    rep-component minimum equals the full-graph minimum).
+    """
     spark = docs.sparkSession
     p = _paths(path)
     reps, _members = collapse_exact(docs)
-    resolved = neardup_resolve(docs, threshold)
-    reps_tbl = reps.select(
-        F.col("doc_id").alias("rep_id"),
-        "text",
-        F.md5(F.col("text").cast("binary")).alias("text_hash"),
-    )
+    reps.select(F.col("doc_id").alias("rep_id"), "text").write.mode(
+        "overwrite"
+    ).parquet(p["reps"])
+
+    stored = spark.read.parquet(p["reps"])  # (rep_id, text)
+    rep_docs = stored.select(F.col("rep_id").alias("doc_id"), "text")
+    band_signatures(_toks_of(rep_docs)).withColumnRenamed(
+        "doc_id", "rep_id"
+    ).write.mode("overwrite").parquet(p["bands"])
+
+    rep_pairs = _rep_neardup_pairs(rep_docs, threshold, DENSE_VOCAB_LIMIT)
+    resolved = resolve_pairs(
+        rep_docs.select("doc_id"), rep_pairs.select("doc_a", "doc_b")
+    ).select(F.col("doc_id").alias("rep_id"), "cluster_id")
     groups = (
-        reps_tbl.join(
-            resolved.select(
-                F.col("doc_id").alias("rep_id"), "cluster_id"
-            ),
-            "rep_id",
+        rep_docs.select(  # (doc_id = rep_id, text): sentinel key matches
+            F.col("doc_id").alias("rep_id"), text_hash_col().alias("text_hash")
         )
+        .join(resolved, "rep_id")
         .select("text_hash", "rep_id", "cluster_id")
     )
-    bands = band_signatures(_toks_of(reps)).withColumnRenamed(
-        "doc_id", "rep_id"
-    )
-    bands.write.mode("overwrite").parquet(p["bands"])
     groups.write.mode("overwrite").parquet(p["groups"])
-    reps_tbl.select("rep_id", "text").write.mode("overwrite").parquet(p["reps"])
     spark.createDataFrame([], "u long, v long").write.mode("overwrite").parquet(
         p["merges"]
     )
@@ -143,7 +141,7 @@ def incremental_edges(
     nh = new_reps.select(
         F.col("doc_id").alias("nrep"),
         "text",
-        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+        text_hash_col().alias("text_hash"),
     )
     # exact-content match: straight to the old group's cluster verdict,
     # no banding needed (the group's signature is already in the index)
@@ -177,7 +175,7 @@ def incremental_edges(
         F.col("rep_id").alias("doc_b"), tokens_col().alias("toks_b")
     )
     old_edges = (
-        _verified_jaccard(cand_old, ntoks_a, otoks_b, threshold)
+        verified_jaccard(cand_old, ntoks_a, otoks_b, threshold)
         .join(
             groups.select(F.col("rep_id").alias("doc_b"), "cluster_id"),
             "doc_b",
@@ -189,7 +187,7 @@ def incremental_edges(
     ntoks_b = toks_new.select(
         F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")
     )
-    nn_edges = _verified_jaccard(
+    nn_edges = verified_jaccard(
         _band_candidates(toks_new), ntoks_a, ntoks_b, threshold
     ).select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
 
@@ -251,7 +249,7 @@ def update_index(
     nh = n_reps.select(
         F.col("doc_id").alias("rep_id"),
         "text",
-        F.md5(F.col("text").cast("binary")).alias("text_hash"),
+        text_hash_col().alias("text_hash"),
     )
     unmatched = nh.join(groups.select("text_hash"), "text_hash", "left_anti")
 
