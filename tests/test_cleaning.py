@@ -85,11 +85,51 @@ def test_cleaning_plans_stay_jvm_only(spark):
     )
 
     docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
-    for df in (pii_scrub(docs), paragraph_dedup(docs), repetition_stats(docs)):
+    from text_ocr_spark.ops.cleaning import gopher_filter
+
+    for df in (
+        pii_scrub(docs),
+        paragraph_dedup(docs),
+        repetition_stats(docs),
+        gopher_filter(docs),
+    ):
         p = plan_str(spark, df)
         assert "MapInPandas" not in p
         assert "BatchEvalPython" not in p
         assert "ArrowEvalPython" not in p
+
+
+def test_gopher_filter_verdicts(spark, messy):
+    """Per-rule flags fire on constructed documents, keep is their
+    conjunction, and signal columns agree with the standalone ops
+    (repetition_stats fractions, quality_score token counts)."""
+    from text_ocr_spark.ops.cleaning import gopher_filter, repetition_stats
+    from text_ocr_spark.ops.text_stats import quality_score
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    out = {r.doc_id: r for r in gopher_filter(docs).collect()}
+    assert len(out) == docs.count()
+    # both verdicts occur on the real corpus (thresholds discriminate)
+    keeps = sum(r.keep for r in out.values())
+    assert 0 < keeps < len(out)
+    # keep == no rule failed
+    for r in out.values():
+        fails = (r.fail_tokens + r.fail_tok_len + r.fail_stop
+                 + r.fail_dup_line + r.fail_dup_para)
+        assert r.keep == (1 if fails == 0 else 0)
+    # signal agreement with the standalone ops
+    rep = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    qs = {r.doc_id: r for r in quality_score(docs).collect()}
+    for did, r in out.items():
+        assert r.dup_line_frac == rep[did].dup_line_frac
+        assert r.dup_para_frac == rep[did].dup_para_frac
+        assert r.n_tokens == qs[did].n_tokens
+
+    # constructed cases: repetition + short-doc rules actually fire
+    messy_out = {r.doc_id: r for r in gopher_filter(messy).collect()}
+    assert messy_out[5].fail_dup_line == 1  # "alpha\nalpha\nalpha"
+    assert messy_out[4].fail_tokens == 1  # empty doc
+    assert all(r.keep == 0 for r in messy_out.values())  # all tiny docs
 
 
 def test_curate_corpus_composition(spark):

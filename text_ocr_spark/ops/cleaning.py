@@ -112,6 +112,82 @@ def paragraph_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+#: Gopher-rule thresholds (Rae et al. 2021, §A1.1 shapes, calibrated to
+#: this corpus' distributions so both verdicts actually occur at test SF)
+GOPHER_MIN_TOKENS = 30
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_MEAN_TOK_LEN = 3.0
+GOPHER_MAX_MEAN_TOK_LEN = 10.0
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_DUP_PARA_FRAC = 0.30
+#: same stop list as text_stats.quality_score
+GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def gopher_filter(docs: DataFrame) -> DataFrame:
+    """Gopher-style quality-gate VERDICTS per document — the keep/drop
+    decision the repetition/quality signals exist for (the cleaning
+    twin of dedup's resolve step).
+
+    -> (doc_id, n_tokens, mean_tok_len, n_stop_hits, dup_line_frac,
+        dup_para_frac, fail_tokens, fail_tok_len, fail_stop,
+        fail_dup_line, fail_dup_para, keep)
+
+    ONE pass, pure whole-stage-codegen expressions (same WS_RE / trim /
+    non-empty discipline as repetition_stats and quality_score so the
+    DuckDB oracle agrees byte-for-byte); per-rule fail flags make the
+    verdict auditable. keep = 1 iff no rule fails.
+    """
+    toks = F.split(F.trim(F.col("text")), WS_RE)
+    n_tok = F.size(toks)
+    n_tok_d = n_tok.cast("double")
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*GOPHER_STOPWORDS)))
+    n_chars = F.length(F.regexp_replace(F.trim(F.col("text")), WS_RE, ""))
+    mean_tok_len = n_chars / n_tok_d
+
+    def frac(col: F.Column) -> F.Column:
+        trimmed = F.filter(
+            F.transform(col, lambda x: F.trim(x)), lambda x: F.length(x) > 0
+        )
+        n = F.size(trimmed)
+        nd = F.size(F.array_distinct(trimmed))
+        return F.when(n > 0, F.round(1.0 - nd / n, 6)).otherwise(F.lit(0.0))
+
+    dup_line = frac(F.split(F.col("text"), r"\n"))
+    dup_para = frac(F.split(F.col("text"), r"\n[ \t]*\n+"))
+
+    fail_tokens = (
+        (n_tok < GOPHER_MIN_TOKENS) | (n_tok > GOPHER_MAX_TOKENS)
+    ).cast("int")
+    fail_tok_len = (
+        (mean_tok_len < GOPHER_MIN_MEAN_TOK_LEN)
+        | (mean_tok_len > GOPHER_MAX_MEAN_TOK_LEN)
+    ).cast("int")
+    fail_stop = (n_stop < GOPHER_MIN_STOP_HITS).cast("int")
+    fail_dup_line = (dup_line > GOPHER_MAX_DUP_LINE_FRAC).cast("int")
+    fail_dup_para = (dup_para > GOPHER_MAX_DUP_PARA_FRAC).cast("int")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_tok_len, 6).alias("mean_tok_len"),
+        n_stop.alias("n_stop_hits"),
+        dup_line.alias("dup_line_frac"),
+        dup_para.alias("dup_para_frac"),
+        fail_tokens.alias("fail_tokens"),
+        fail_tok_len.alias("fail_tok_len"),
+        fail_stop.alias("fail_stop"),
+        fail_dup_line.alias("fail_dup_line"),
+        fail_dup_para.alias("fail_dup_para"),
+        (
+            (fail_tokens + fail_tok_len + fail_stop + fail_dup_line
+             + fail_dup_para) == 0
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+
+
 def repetition_stats(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition signals per document.
 
