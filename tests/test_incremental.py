@@ -235,6 +235,80 @@ def test_stream_dedup_incremental_three_waves(spark):
     assert len(ledger) == sum(len(w) for w in waves)
 
 
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+
+
+def test_embed_incremental_matches_batch_union(spark, emb):
+    """Embedding modality: embed_incremental_resolve(delta | index) ==
+    batch embed_resolve(union) restricted to the delta."""
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.dedup import embed_resolve
+    from text_ocr_spark.ops.incremental import (
+        build_embed_index,
+        embed_incremental_resolve,
+    )
+
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    tmp = tempfile.mkdtemp(prefix="einc_idx_")
+    build_embed_index(corpus, tmp)
+    inc = {
+        r.vec_id: (r.cluster_id, r.keep_id, r.is_dup)
+        for r in embed_incremental_resolve(spark, delta, tmp).collect()
+    }
+    batch = {
+        r.vec_id: (r.cluster_id, r.keep_id, r.is_dup)
+        for r in embed_resolve(emb).collect()
+        if r.vec_id % 5 == 4
+    }
+    assert inc == batch
+    assert len(inc) > 0
+    assert any(v[2] == 1 for v in inc.values())  # delta really clusters
+
+
+def test_embed_two_wave_update(spark, emb):
+    """Two embedding waves folded via update_embed_index: wave C's
+    verdicts against the updated index equal the batch over all three
+    slices restricted to C."""
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.dedup import embed_resolve
+    from text_ocr_spark.ops.incremental import (
+        build_embed_index,
+        embed_incremental_resolve,
+        update_embed_index,
+    )
+
+    a = emb.filter(F.col("vec_id") % 3 == 0)
+    b = emb.filter(F.col("vec_id") % 3 == 1)
+    c = emb.filter(F.col("vec_id") % 3 == 2)
+    tmp = tempfile.mkdtemp(prefix="einc_waves_")
+    build_embed_index(a, tmp)
+    b_got = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in update_embed_index(spark, b, tmp).collect()
+    }
+    c_got = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in embed_incremental_resolve(spark, c, tmp).collect()
+    }
+    ab = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in embed_resolve(a.unionByName(b)).collect()
+        if r.vec_id % 3 == 1
+    }
+    abc = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in embed_resolve(emb).collect()
+        if r.vec_id % 3 == 2
+    }
+    assert b_got == ab
+    assert c_got == abc
+
+
 def test_incremental_plan_never_rebands_corpus(spark, docs):
     """Delta cost is independent of corpus size: the ONLY Python stages
     in the incremental pair plan are the delta's own band computations

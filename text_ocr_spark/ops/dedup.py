@@ -873,18 +873,30 @@ def embed_pairs(
         F.col("b.vecs").alias("vecs_b"),
     ).repartition(_tile_partitions(n_blocks, emb))
 
-    def unpack(rows: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-        mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
-        return ids, mat, np.sqrt((mat * mat).sum(axis=1))
+    return tiles.mapInPandas(
+        make_cosine_tile_fn(threshold), schema="vec_a long, vec_b long, cos double"
+    ).select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+
+
+def _unpack_vecs(rows: list[dict]) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, mat, np.sqrt((mat * mat).sum(axis=1))
+
+
+def make_cosine_tile_fn(threshold: float):
+    """GEMM tile kernel over (block_a, block_b, vecs_a, vecs_b) rows ->
+    (vec_a, vec_b, cos) pairs at cos >= threshold. SINGLE source of the
+    tile cosine semantics, shared by embed_pairs and the incremental
+    embedding index (ops/incremental.py)."""
 
     def tile_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for block_a, block_b, vecs_a, vecs_b in zip(
                 pdf["block_a"], pdf["block_b"], pdf["vecs_a"], pdf["vecs_b"]
             ):
-                ids_a, mat_a, norm_a = unpack(list(vecs_a))
-                ids_b, mat_b, norm_b = unpack(list(vecs_b))
+                ids_a, mat_a, norm_a = _unpack_vecs(list(vecs_a))
+                ids_b, mat_b, norm_b = _unpack_vecs(list(vecs_b))
                 # dot / (|a| * |b|) — the oracle's expression shape
                 cos = (mat_a @ mat_b.T) / (norm_a[:, None] * norm_b[None, :])
                 keep = cos >= threshold
@@ -903,9 +915,7 @@ def embed_pairs(
                     }
                 )
 
-    return tiles.mapInPandas(
-        tile_pairs, schema="vec_a long, vec_b long, cos double"
-    ).select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+    return tile_pairs
 
 
 # --------------------------------------------------------------------------

@@ -221,6 +221,268 @@ def incremental_resolve(
     )
 
 
+# --------------------------------------------------------------------------
+# embedding modality: incremental near-dup against a persisted vector index
+# --------------------------------------------------------------------------
+
+_EPARTS = ("vecs", "blockbuckets", "clusters", "emerges")
+#: wave-namespaced block ids: high 32 bits = wave, low 32 = local block
+_WAVE_SHIFT = 32
+
+
+def _epaths(path: str) -> dict[str, str]:
+    return {p: f"{path}/{p}" for p in _EPARTS}
+
+
+def _block_col(wave: int, block_size: int, n_vecs: int) -> F.Column:
+    n_blocks = max(1, -(-n_vecs // block_size))
+    return (
+        F.lit(int(wave) << _WAVE_SHIFT)
+        + F.pmod(F.xxhash64("vec_id"), F.lit(n_blocks))
+    ).alias("block")
+
+
+def build_embed_index(
+    emb: DataFrame, path: str, threshold: float | None = None
+) -> None:
+    """Batch-resolve the vector corpus and persist the probe index:
+
+    - ``vecs/``        (vec_id, embedding, block) — wave-0 blocks;
+    - ``blockbuckets/``(block, table, bucket) — each block's distinct
+      sign-random-projection bucket set (the block-granular collision
+      surface of embed_pairs' prefilter);
+    - ``clusters/``    (vec_id, cluster_id) — verdicts at index time;
+    - ``emerges/``     (u, v) — cluster-merge edges from later waves.
+
+    Vectors have no exact-dup collapse (float payloads); each vector is
+    its own node. Delta recall matches embed_pairs' prefilter recall
+    (block-granular collision, equality-pytested on this corpus).
+    """
+    from text_ocr_spark.ops.dedup import DENSE_BLOCK, EMBED_THRESHOLD, embed_resolve
+    from text_ocr_spark.ops.similarity import lsh_buckets
+
+    thr = EMBED_THRESHOLD if threshold is None else threshold
+    spark = emb.sparkSession
+    p = _epaths(path)
+    n = emb.count()
+    emb.select("vec_id", "embedding").withColumn(
+        "block", _block_col(0, DENSE_BLOCK, max(n, 1))
+    ).write.mode("overwrite").parquet(p["vecs"])
+
+    stored = spark.read.parquet(p["vecs"])
+    lsh_buckets(stored).join(
+        stored.select("vec_id", "block"), "vec_id"
+    ).select("block", "table", "bucket").distinct().write.mode(
+        "overwrite"
+    ).parquet(p["blockbuckets"])
+    embed_resolve(stored.select("vec_id", "embedding"), thr).select(
+        "vec_id", "cluster_id"
+    ).write.mode("overwrite").parquet(p["clusters"])
+    spark.createDataFrame([], "u long, v long").write.mode("overwrite").parquet(
+        p["emerges"]
+    )
+
+
+def init_embed_index(spark: SparkSession, path: str) -> None:
+    build_embed_index(
+        spark.createDataFrame([], "vec_id long, embedding array<float>"), path
+    )
+
+
+def _next_wave(stored_vecs: DataFrame) -> int:
+    row = stored_vecs.agg(
+        F.max(F.shiftrightunsigned("block", _WAVE_SHIFT)).alias("w")
+    ).first()
+    return int(row["w"]) + 1 if row["w"] is not None else 1
+
+
+def embed_incremental_edges(
+    spark: SparkSession,
+    new_vecs: DataFrame,
+    path: str,
+    threshold: float | None = None,
+) -> DataFrame:
+    """(u, v) component edges for the delta vectors: verified
+    delta->old tile pairs (candidate OLD blocks via block-granular
+    bucket collision against the persisted bucket sets — the corpus is
+    never re-hashed; only colliding blocks' vectors are read), verified
+    delta<->delta pairs (exact embed_pairs over the delta), and the
+    accumulated merge edges. Old endpoints are contracted to their
+    stored cluster label."""
+    from text_ocr_spark.ops.dedup import (
+        DENSE_BLOCK,
+        EMBED_THRESHOLD,
+        _tile_partitions,
+        embed_pairs,
+        make_cosine_tile_fn,
+    )
+    from text_ocr_spark.ops.similarity import lsh_buckets
+
+    thr = EMBED_THRESHOLD if threshold is None else threshold
+    p = _epaths(path)
+    stored = spark.read.parquet(p["vecs"])
+    bb_old = spark.read.parquet(p["blockbuckets"])
+    clusters = spark.read.parquet(p["clusters"])
+    merges = spark.read.parquet(p["emerges"])
+
+    n_delta = new_vecs.count()
+    wave = _next_wave(stored)
+    delta = new_vecs.select("vec_id", "embedding").withColumn(
+        "block", _block_col(wave, DENSE_BLOCK, max(n_delta, 1))
+    )
+    bb_new = (
+        lsh_buckets(delta)
+        .join(delta.select("vec_id", "block"), "vec_id")
+        .select("block", "table", "bucket")
+        .distinct()
+    )
+    cand_blocks = (
+        bb_new.alias("n")
+        .join(
+            bb_old.alias("o"),
+            (F.col("n.table") == F.col("o.table"))
+            & (F.col("n.bucket") == F.col("o.bucket")),
+        )
+        .select(
+            F.col("n.block").alias("block_a"), F.col("o.block").alias("block_b")
+        )
+        .distinct()
+    )
+    dblocks = delta.groupBy("block").agg(
+        F.collect_list(F.struct("vec_id", "embedding")).alias("vecs")
+    )
+    oblocks = (
+        stored.join(
+            cand_blocks.select(F.col("block_b").alias("block")).distinct(),
+            "block",
+            "leftsemi",
+        )
+        .groupBy("block")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
+    )
+    tiles = (
+        dblocks.alias("a")
+        .join(F.broadcast(cand_blocks), F.col("a.block") == F.col("block_a"))
+        .join(oblocks.alias("b"), F.col("b.block") == F.col("block_b"))
+        .select(
+            F.col("a.block").alias("block_a"),
+            F.col("b.block").alias("block_b"),
+            F.col("a.vecs").alias("vecs_a"),
+            F.col("b.vecs").alias("vecs_b"),
+        )
+        .repartition(_tile_partitions(8, new_vecs))
+    )
+    cross = tiles.mapInPandas(
+        make_cosine_tile_fn(thr), schema="vec_a long, vec_b long, cos double"
+    ).select("vec_a", "vec_b")
+
+    nn = embed_pairs(
+        new_vecs.select("vec_id", "embedding"), thr, n_vecs=n_delta
+    ).select("vec_a", "vec_b")
+
+    pairs = cross.unionByName(nn)
+    ca = clusters.select(
+        F.col("vec_id").alias("vec_a"), F.col("cluster_id").alias("ca")
+    )
+    cb = clusters.select(
+        F.col("vec_id").alias("vec_b"), F.col("cluster_id").alias("cb")
+    )
+    contracted = (
+        pairs.join(ca, "vec_a", "left")
+        .join(cb, "vec_b", "left")
+        .select(
+            F.coalesce("ca", F.col("vec_a")).alias("u"),
+            F.coalesce("cb", F.col("vec_b")).alias("v"),
+        )
+    )
+    return contracted.unionByName(merges.select("u", "v"))
+
+
+def embed_incremental_resolve(
+    spark: SparkSession,
+    new_vecs: DataFrame,
+    path: str,
+    threshold: float | None = None,
+) -> DataFrame:
+    """-> (vec_id, cluster_id, keep_id, is_dup) for the DELTA vectors,
+    equal to batch embed_resolve(corpus UNION delta) restricted to the
+    delta (same contraction argument as the text side; recall = the
+    block-granular prefilter's, equality-pytested)."""
+    edges = embed_incremental_edges(spark, new_vecs, path, threshold)
+    resolved = resolve_pairs(
+        new_vecs.select(F.col("vec_id").alias("doc_id")),
+        edges.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b")),
+    )
+    return resolved.select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "keep_id", "is_dup"
+    )
+
+
+def update_embed_index(
+    spark: SparkSession,
+    new_vecs: DataFrame,
+    path: str,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Fold a vector delta into the index (append-only) and return its
+    verdicts — the embedding twin of ``update_index``: appends the
+    delta's vectors/blocks/bucket sets/cluster rows plus merge edges
+    for every stale old label its components touched."""
+    from text_ocr_spark.ops.dedup import DENSE_BLOCK
+    from text_ocr_spark.ops.similarity import lsh_buckets
+
+    p = _epaths(path)
+    stored = spark.read.parquet(p["vecs"])
+    clusters = spark.read.parquet(p["clusters"])
+
+    edges = embed_incremental_edges(spark, new_vecs, path, threshold)
+    resolved = resolve_pairs(
+        new_vecs.select(F.col("vec_id").alias("doc_id")),
+        edges.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b")),
+    ).select(F.col("doc_id").alias("vec_id"), "cluster_id")
+
+    # the tile kernel orients pairs (min, max) by vec_id, so the delta
+    # endpoint can sit on EITHER side — symmetrize before extracting
+    # "delta component minimum vs touched old label" merge edges
+    old_labels = clusters.select(F.col("cluster_id").alias("v")).distinct()
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    old_touch = (
+        sym.join(
+            resolved.select(F.col("vec_id").alias("u"), "cluster_id"), "u"
+        )
+        .where(F.col("v") != F.col("cluster_id"))
+        .join(old_labels, "v", "leftsemi")
+        .select(F.col("cluster_id").alias("u"), "v")
+        .distinct()
+    )
+
+    n_delta = new_vecs.count()
+    wave = _next_wave(stored)
+    delta = new_vecs.select("vec_id", "embedding").withColumn(
+        "block", _block_col(wave, DENSE_BLOCK, max(n_delta, 1))
+    )
+    delta.write.mode("append").parquet(p["vecs"])
+    (
+        lsh_buckets(delta)
+        .join(delta.select("vec_id", "block"), "vec_id")
+        .select("block", "table", "bucket")
+        .distinct()
+        .write.mode("append")
+        .parquet(p["blockbuckets"])
+    )
+    resolved.write.mode("append").parquet(p["clusters"])
+    old_touch.write.mode("append").parquet(p["emerges"])
+
+    return resolved.select(
+        "vec_id",
+        "cluster_id",
+        F.col("cluster_id").alias("keep_id"),
+        (F.col("vec_id") != F.col("cluster_id")).cast("int").alias("is_dup"),
+    )
+
+
 def update_index(
     spark: SparkSession,
     new_docs: DataFrame,
