@@ -32,6 +32,23 @@ def _incremental_edges_df(spark, docs):
     return incremental_edges(spark, n_reps, tmp)
 
 
+def _embed_incremental_edges_df(spark, emb):
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.incremental import (
+        build_embed_index,
+        embed_incremental_edges,
+    )
+
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    tmp = tempfile.mkdtemp(prefix="plans_eidx_")
+    build_embed_index(corpus, tmp)
+    return embed_incremental_edges(spark, delta, tmp)
+
+
 def main() -> int:
     from text_ocr_spark.ops.dedup import embed_pairs, minhash_dedup
     from text_ocr_spark.ops.joins import purchase_error_window, purchases_asof_view
@@ -180,6 +197,17 @@ def main() -> int:
             "stored texts (JVM tokens_col). Delta cost is independent of "
             "corpus size.",
             _incremental_edges_df(spark, docs),
+        ),
+        (
+            "embed incremental delta probe (colliding blocks only)",
+            "Delta vectors hash+bucket via MapInPandas (delta-sized); "
+            "the stored block-bucket sets join on (table, bucket) to "
+            "enumerate candidate OLD blocks, a leftsemi prunes the "
+            "stored vecs scan to colliding blocks, and only those tiles "
+            "run the GEMM verification kernel. The corpus is never "
+            "re-hashed; old endpoints contract to their stored cluster "
+            "labels before resolution.",
+            _embed_incremental_edges_df(spark, emb),
         ),
     ]
 
