@@ -30,6 +30,9 @@ SUBSET = [
     "lang_id",
     "doc_fingerprint",
     "multimodal_meta",
+    "gopher_filter",
+    "dedup_minhash",
+    "dedup_resolve",
 ]
 
 
