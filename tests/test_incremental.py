@@ -269,6 +269,39 @@ def test_embed_incremental_matches_batch_union(spark, emb):
     assert any(v[2] == 1 for v in inc.values())  # delta really clusters
 
 
+def test_embed_incremental_forced_small_blocks(spark, emb):
+    """Scale-only-bug protocol: block_size=16 => ~30 blocks, exercising
+    the multi-block paths (wave-namespaced block ids, candidate-block
+    join, leftsemi pruning) in BOTH regimes — prefilter forced on and
+    the exhaustive fallback — each of which must equal the batch union
+    resolution."""
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.dedup import embed_resolve
+    from text_ocr_spark.ops.incremental import (
+        build_embed_index,
+        embed_incremental_resolve,
+    )
+
+    corpus = emb.filter(F.col("vec_id") % 5 != 4)
+    delta = emb.filter(F.col("vec_id") % 5 == 4)
+    batch = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in embed_resolve(emb).collect()
+        if r.vec_id % 5 == 4
+    }
+    tmp = tempfile.mkdtemp(prefix="einc_blocks_")
+    build_embed_index(corpus, tmp, block_size=16)
+    for pf in (True, False):
+        inc = {
+            r.vec_id: (r.cluster_id, r.is_dup)
+            for r in embed_incremental_resolve(
+                spark, delta, tmp, block_size=16, prefilter=pf
+            ).collect()
+        }
+        assert inc == batch, f"prefilter={pf}"
+
+
 def test_embed_two_wave_update(spark, emb):
     """Two embedding waves folded via update_embed_index: wave C's
     verdicts against the updated index equal the batch over all three

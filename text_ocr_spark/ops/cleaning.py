@@ -21,6 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from text_ocr_spark.ops.text_stats import STOPWORDS, WS_RE  # noqa: F401
+# WS_RE is canonically defined in text_stats (re-exported here for the
+# existing cleaning/curate import surface)
+
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 #: deliberately permissive (ADVICE r2): accepts out-of-range octets
 #: (999.999.999.999) and matches the first four octets of longer dotted
@@ -30,9 +34,6 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 #: because leftmost-first (Java) vs leftmost-longest (RE2) alternation
 #: semantics could silently diverge between Spark and the DuckDB oracle.
 IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
-#: whitespace class common to Java regex and RE2 (Java \s includes \x0B,
-#: RE2's does not — \s would silently diverge between Spark and DuckDB)
-WS_RE = r"[ \t\n\f\r]+"
 
 
 def scrub_expr(col: F.Column) -> F.Column:
@@ -121,8 +122,23 @@ GOPHER_MAX_MEAN_TOK_LEN = 10.0
 GOPHER_MIN_STOP_HITS = 2
 GOPHER_MAX_DUP_LINE_FRAC = 0.30
 GOPHER_MAX_DUP_PARA_FRAC = 0.30
-#: same stop list as text_stats.quality_score
-GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+#: THE stop list — imported, not re-declared, so it cannot drift from
+#: quality_score's counting (their signal agreement is pytest-pinned)
+GOPHER_STOPWORDS = STOPWORDS
+
+
+def dup_frac_stats(col: F.Column) -> tuple[F.Column, F.Column, F.Column]:
+    """(n, n_distinct, dup_fraction) over a split-array column: trimmed,
+    empties dropped, fraction round(6), 0.0 when empty. SINGLE source of
+    the Gopher repetition expression — repetition_stats' signal columns
+    and gopher_filter's rule inputs are pinned equal by test."""
+    trimmed = F.filter(
+        F.transform(col, lambda x: F.trim(x)), lambda x: F.length(x) > 0
+    )
+    n = F.size(trimmed)
+    nd = F.size(F.array_distinct(trimmed))
+    frac = F.when(n > 0, F.round(1.0 - nd / n, 6)).otherwise(F.lit(0.0))
+    return n, nd, frac
 
 
 def gopher_filter(docs: DataFrame) -> DataFrame:
@@ -146,16 +162,8 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
     n_chars = F.length(F.regexp_replace(F.trim(F.col("text")), WS_RE, ""))
     mean_tok_len = n_chars / n_tok_d
 
-    def frac(col: F.Column) -> F.Column:
-        trimmed = F.filter(
-            F.transform(col, lambda x: F.trim(x)), lambda x: F.length(x) > 0
-        )
-        n = F.size(trimmed)
-        nd = F.size(F.array_distinct(trimmed))
-        return F.when(n > 0, F.round(1.0 - nd / n, 6)).otherwise(F.lit(0.0))
-
-    dup_line = frac(F.split(F.col("text"), r"\n"))
-    dup_para = frac(F.split(F.col("text"), r"\n[ \t]*\n+"))
+    _, _, dup_line = dup_frac_stats(F.split(F.col("text"), r"\n"))
+    _, _, dup_para = dup_frac_stats(F.split(F.col("text"), r"\n[ \t]*\n+"))
 
     fail_tokens = (
         (n_tok < GOPHER_MIN_TOKENS) | (n_tok > GOPHER_MAX_TOKENS)
@@ -198,19 +206,10 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     expressions — stays inside whole-stage codegen.
     """
 
-    def stats(col: F.Column):
-        trimmed = F.filter(
-            F.transform(col, lambda x: F.trim(x)), lambda x: F.length(x) > 0
-        )
-        n = F.size(trimmed)
-        nd = F.size(F.array_distinct(trimmed))
-        frac = F.when(n > 0, F.round(1.0 - nd / n, 6)).otherwise(F.lit(0.0))
-        return n, nd, frac
-
     lines = F.split(F.col("text"), r"\n")
     paras = F.split(F.col("text"), r"\n[ \t]*\n+")
-    nl, ndl, fl = stats(lines)
-    np_, ndp, fp = stats(paras)
+    nl, ndl, fl = dup_frac_stats(lines)
+    np_, ndp, fp = dup_frac_stats(paras)
     return docs.select(
         "doc_id",
         nl.alias("n_lines"),

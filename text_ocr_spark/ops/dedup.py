@@ -92,8 +92,13 @@ def _tile_partitions(n_blocks: int, df: DataFrame) -> int:
 
 
 def tokens_col(text_col: str = "text") -> F.Column:
-    """Distinct whitespace tokens of a trimmed document (JVM-side)."""
-    return F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    """Distinct whitespace tokens of a trimmed document (JVM-side).
+    Explicit whitespace class (text_stats.WS_RE): Java's \\s matches
+    \\x0B, RE2's does not — a bare \\s would diverge from the DuckDB
+    oracles on vertical-tab payloads."""
+    from text_ocr_spark.ops.text_stats import WS_RE
+
+    return F.array_distinct(F.split(F.trim(F.col(text_col)), WS_RE))
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:

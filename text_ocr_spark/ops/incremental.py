@@ -243,7 +243,10 @@ def _block_col(wave: int, block_size: int, n_vecs: int) -> F.Column:
 
 
 def build_embed_index(
-    emb: DataFrame, path: str, threshold: float | None = None
+    emb: DataFrame,
+    path: str,
+    threshold: float | None = None,
+    block_size: int | None = None,
 ) -> None:
     """Batch-resolve the vector corpus and persist the probe index:
 
@@ -262,11 +265,12 @@ def build_embed_index(
     from text_ocr_spark.ops.similarity import lsh_buckets
 
     thr = EMBED_THRESHOLD if threshold is None else threshold
+    bs = DENSE_BLOCK if block_size is None else block_size
     spark = emb.sparkSession
     p = _epaths(path)
     n = emb.count()
     emb.select("vec_id", "embedding").withColumn(
-        "block", _block_col(0, DENSE_BLOCK, max(n, 1))
+        "block", _block_col(0, bs, max(n, 1))
     ).write.mode("overwrite").parquet(p["vecs"])
 
     stored = spark.read.parquet(p["vecs"])
@@ -296,58 +300,101 @@ def _next_wave(stored_vecs: DataFrame) -> int:
     return int(row["w"]) + 1 if row["w"] is not None else 1
 
 
-def embed_incremental_edges(
+def _delta_frame(
+    spark: SparkSession, new_vecs: DataFrame, path: str, block_size: int
+) -> tuple[DataFrame, int]:
+    """Wave-namespaced delta blocks; ONE count / max-wave probe pair."""
+    stored = spark.read.parquet(_epaths(path)["vecs"])
+    n_delta = new_vecs.count()
+    wave = _next_wave(stored)
+    delta = new_vecs.select("vec_id", "embedding").withColumn(
+        "block", _block_col(wave, block_size, max(n_delta, 1))
+    )
+    return delta, n_delta
+
+
+def _delta_blockbuckets(delta: DataFrame) -> DataFrame:
+    from text_ocr_spark.ops.similarity import lsh_buckets
+
+    return (
+        lsh_buckets(delta)
+        .join(delta.select("vec_id", "block"), "vec_id")
+        .select("block", "table", "bucket")
+        .distinct()
+    )
+
+
+def _embed_edges(
     spark: SparkSession,
-    new_vecs: DataFrame,
+    delta: DataFrame,
+    n_delta: int,
     path: str,
-    threshold: float | None = None,
+    thr: float,
+    block_size: int,
+    prefilter: bool | None,
 ) -> DataFrame:
-    """(u, v) component edges for the delta vectors: verified
-    delta->old tile pairs (candidate OLD blocks via block-granular
-    bucket collision against the persisted bucket sets — the corpus is
-    never re-hashed; only colliding blocks' vectors are read), verified
-    delta<->delta pairs (exact embed_pairs over the delta), and the
-    accumulated merge edges. Old endpoints are contracted to their
-    stored cluster label."""
+    """(u, v) component edges for a prepared delta frame: verified
+    delta->old tile pairs, verified delta<->delta pairs (exact
+    embed_pairs over the delta), and the accumulated merge edges; old
+    endpoints contract to their stored cluster label. The corpus is
+    never re-hashed — only colliding (or, below EXHAUSTIVE_BLOCK_LIMIT
+    total blocks, ALL) old blocks' vectors are read into tiles."""
     from text_ocr_spark.ops.dedup import (
-        DENSE_BLOCK,
-        EMBED_THRESHOLD,
+        EXHAUSTIVE_BLOCK_LIMIT,
         _tile_partitions,
         embed_pairs,
         make_cosine_tile_fn,
     )
-    from text_ocr_spark.ops.similarity import lsh_buckets
 
-    thr = EMBED_THRESHOLD if threshold is None else threshold
     p = _epaths(path)
     stored = spark.read.parquet(p["vecs"])
     bb_old = spark.read.parquet(p["blockbuckets"])
     clusters = spark.read.parquet(p["clusters"])
     merges = spark.read.parquet(p["emerges"])
 
-    n_delta = new_vecs.count()
-    wave = _next_wave(stored)
-    delta = new_vecs.select("vec_id", "embedding").withColumn(
-        "block", _block_col(wave, DENSE_BLOCK, max(n_delta, 1))
-    )
-    bb_new = (
-        lsh_buckets(delta)
-        .join(delta.select("vec_id", "block"), "vec_id")
-        .select("block", "table", "bucket")
-        .distinct()
-    )
-    cand_blocks = (
-        bb_new.alias("n")
-        .join(
-            bb_old.alias("o"),
-            (F.col("n.table") == F.col("o.table"))
-            & (F.col("n.bucket") == F.col("o.bucket")),
+    # block census: delta count is known; old blocks come from the tiny
+    # blockbuckets table (|blocks| x 8 tables x <= 16 buckets rows)
+    n_dblocks = max(1, -(-n_delta // block_size))
+    old_block_list = bb_old.select("block").distinct()
+    n_oblocks = old_block_list.count()
+    if prefilter is None:
+        prefilter = (n_dblocks + n_oblocks) > EXHAUSTIVE_BLOCK_LIMIT
+        if prefilter:
+            import logging
+
+            logging.getLogger(__name__).info(
+                "embed_incremental: LSH candidate-block prefilter ENGAGED "
+                "(%d delta + %d stored blocks > %d); delta->old tiles are "
+                "now collision-bounded (same recall surface as "
+                "embed_pairs' prefilter, equality-pytested)",
+                n_dblocks,
+                n_oblocks,
+                EXHAUSTIVE_BLOCK_LIMIT,
+            )
+    if prefilter:
+        bb_new = _delta_blockbuckets(delta)
+        cand_blocks = (
+            bb_new.alias("n")
+            .join(
+                bb_old.alias("o"),
+                (F.col("n.table") == F.col("o.table"))
+                & (F.col("n.bucket") == F.col("o.bucket")),
+            )
+            .select(
+                F.col("n.block").alias("block_a"),
+                F.col("o.block").alias("block_b"),
+            )
+            .distinct()
         )
-        .select(
-            F.col("n.block").alias("block_a"), F.col("o.block").alias("block_b")
+    else:
+        # EXACT below the limit, mirroring embed_pairs: every (delta
+        # block, old block) pair becomes a tile
+        cand_blocks = (
+            delta.select("block")
+            .distinct()
+            .withColumnRenamed("block", "block_a")
+            .crossJoin(old_block_list.withColumnRenamed("block", "block_b"))
         )
-        .distinct()
-    )
     dblocks = delta.groupBy("block").agg(
         F.collect_list(F.struct("vec_id", "embedding")).alias("vecs")
     )
@@ -370,14 +417,17 @@ def embed_incremental_edges(
             F.col("a.vecs").alias("vecs_a"),
             F.col("b.vecs").alias("vecs_b"),
         )
-        .repartition(_tile_partitions(8, new_vecs))
+        .repartition(_tile_partitions(max(n_dblocks, n_oblocks, 1), delta))
     )
     cross = tiles.mapInPandas(
         make_cosine_tile_fn(thr), schema="vec_a long, vec_b long, cos double"
     ).select("vec_a", "vec_b")
 
     nn = embed_pairs(
-        new_vecs.select("vec_id", "embedding"), thr, n_vecs=n_delta
+        delta.select("vec_id", "embedding"),
+        thr,
+        block_size=block_size,
+        n_vecs=n_delta,
     ).select("vec_a", "vec_b")
 
     pairs = cross.unionByName(nn)
@@ -398,17 +448,38 @@ def embed_incremental_edges(
     return contracted.unionByName(merges.select("u", "v"))
 
 
+def embed_incremental_edges(
+    spark: SparkSession,
+    new_vecs: DataFrame,
+    path: str,
+    threshold: float | None = None,
+    block_size: int | None = None,
+    prefilter: bool | None = None,
+) -> DataFrame:
+    from text_ocr_spark.ops.dedup import DENSE_BLOCK, EMBED_THRESHOLD
+
+    thr = EMBED_THRESHOLD if threshold is None else threshold
+    bs = DENSE_BLOCK if block_size is None else block_size
+    delta, n_delta = _delta_frame(spark, new_vecs, path, bs)
+    return _embed_edges(spark, delta, n_delta, path, thr, bs, prefilter)
+
+
 def embed_incremental_resolve(
     spark: SparkSession,
     new_vecs: DataFrame,
     path: str,
     threshold: float | None = None,
+    block_size: int | None = None,
+    prefilter: bool | None = None,
 ) -> DataFrame:
     """-> (vec_id, cluster_id, keep_id, is_dup) for the DELTA vectors,
     equal to batch embed_resolve(corpus UNION delta) restricted to the
-    delta (same contraction argument as the text side; recall = the
-    block-granular prefilter's, equality-pytested)."""
-    edges = embed_incremental_edges(spark, new_vecs, path, threshold)
+    delta (same contraction argument as the text side; exact below
+    EXHAUSTIVE_BLOCK_LIMIT total blocks, prefilter recall above it —
+    equality-pytested at forced small blocks)."""
+    edges = embed_incremental_edges(
+        spark, new_vecs, path, threshold, block_size, prefilter
+    )
     resolved = resolve_pairs(
         new_vecs.select(F.col("vec_id").alias("doc_id")),
         edges.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b")),
@@ -423,19 +494,27 @@ def update_embed_index(
     new_vecs: DataFrame,
     path: str,
     threshold: float | None = None,
+    block_size: int | None = None,
+    prefilter: bool | None = None,
 ) -> DataFrame:
     """Fold a vector delta into the index (append-only) and return its
     verdicts — the embedding twin of ``update_index``: appends the
     delta's vectors/blocks/bucket sets/cluster rows plus merge edges
-    for every stale old label its components touched."""
-    from text_ocr_spark.ops.dedup import DENSE_BLOCK
-    from text_ocr_spark.ops.similarity import lsh_buckets
+    for every stale old label its components touched. The delta frame
+    is built ONCE and the edge set is localCheckpointed, so the GEMM
+    probe does not re-run for the merge-edge write (review finding r3).
+    """
+    from text_ocr_spark.ops.dedup import DENSE_BLOCK, EMBED_THRESHOLD
 
+    thr = EMBED_THRESHOLD if threshold is None else threshold
+    bs = DENSE_BLOCK if block_size is None else block_size
     p = _epaths(path)
-    stored = spark.read.parquet(p["vecs"])
     clusters = spark.read.parquet(p["clusters"])
 
-    edges = embed_incremental_edges(spark, new_vecs, path, threshold)
+    delta, n_delta = _delta_frame(spark, new_vecs, path, bs)
+    edges = _embed_edges(
+        spark, delta, n_delta, path, thr, bs, prefilter
+    ).localCheckpoint()
     resolved = resolve_pairs(
         new_vecs.select(F.col("vec_id").alias("doc_id")),
         edges.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b")),
@@ -458,20 +537,8 @@ def update_embed_index(
         .distinct()
     )
 
-    n_delta = new_vecs.count()
-    wave = _next_wave(stored)
-    delta = new_vecs.select("vec_id", "embedding").withColumn(
-        "block", _block_col(wave, DENSE_BLOCK, max(n_delta, 1))
-    )
     delta.write.mode("append").parquet(p["vecs"])
-    (
-        lsh_buckets(delta)
-        .join(delta.select("vec_id", "block"), "vec_id")
-        .select("block", "table", "bucket")
-        .distinct()
-        .write.mode("append")
-        .parquet(p["blockbuckets"])
-    )
+    _delta_blockbuckets(delta).write.mode("append").parquet(p["blockbuckets"])
     resolved.write.mode("append").parquet(p["clusters"])
     old_touch.write.mode("append").parquet(p["emerges"])
 

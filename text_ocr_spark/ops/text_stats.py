@@ -8,8 +8,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: whitespace class with IDENTICAL semantics in Java regex (Spark) and
+#: RE2 (DuckDB): Java's \s matches \x0B, RE2's does not, so a bare \s
+#: would silently diverge between the engines on vertical-tab payloads.
+#: Canonical home for the whole repo (cleaning.py re-exports).
+WS_RE = r"[ \t\n\f\r]+"
+
 #: BPE-ish token grammar: letter runs, digit runs, single other glyphs
-BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+#: (explicit whitespace class, same cross-engine reason as WS_RE)
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\f\r]"
 
 #: tiny fixed stopword list (explicit table, not locale-dependent)
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
@@ -23,7 +30,7 @@ LANG_MARKERS = {
 
 
 def ws_tokens(text_col: str = "text") -> F.Column:
-    return F.split(F.trim(F.col(text_col)), r"\s+")
+    return F.split(F.trim(F.col(text_col)), WS_RE)
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
@@ -48,7 +55,7 @@ def quality_score(docs: DataFrame) -> DataFrame:
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast(
         "double"
     )
-    mean_len = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", "")) / n_tok
+    mean_len = F.length(F.regexp_replace(F.trim(F.col("text")), WS_RE, "")) / n_tok
     score = (
         0.5 * F.least(F.lit(1.0), n_tok / 64.0)
         + 0.3 * F.least(F.lit(1.0), 4.0 * n_stop / n_tok)
@@ -98,7 +105,7 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Deterministic 16-hex fingerprint of the canonicalized text
     (lowercase + whitespace-collapsed) — the keys.txt-style explicit-table
     analog of content identity."""
-    canon = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    canon = F.regexp_replace(F.lower(F.trim(F.col("text"))), WS_RE, " ")
     return docs.select(
         "doc_id",
         F.substring(F.md5(canon.cast("binary")), 1, 16).alias("fingerprint"),
