@@ -284,6 +284,81 @@ def test_boilerplate_collapse_kills_hot_bands(spark):
     assert n_h0 == k * (k - 1) // 2
 
 
+@pytest.mark.parametrize("seed", [3, 11, 42])
+def test_collapse_expansion_invariant_random_corpora(spark, seed):
+    """Tail coverage for the collapse/expand algebra: random corpora
+    mixing exact-dup groups (skewed sizes), near-dup variants, and
+    unique docs — minhash_dedup on BOTH routes must equal the exact
+    inverted-index ground truth, and neardup_resolve must equal a
+    driver union-find over that ground truth."""
+    import random
+
+    import pandas as pd
+
+    from text_ocr_spark.ops.dedup import (
+        jaccard_pairs,
+        minhash_dedup,
+        neardup_resolve,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(400)]
+    rows: list[tuple[int, str]] = []
+    nid = 0
+    for _ in range(rng.randint(4, 7)):
+        base = rng.sample(vocab, rng.randint(25, 60))
+        k = rng.choice([1, 1, 2, 3, 8])  # skewed exact-dup group sizes
+        text = " ".join(base)
+        for _ in range(k):
+            rows.append((nid, text))
+            nid += 1
+        if rng.random() < 0.7:  # a near-dup variant (drop one token)
+            rows.append((nid, " ".join(base[:-1])))
+            nid += 1
+    rng.shuffle(rows)
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [r[0] for r in rows],
+                      "text": [r[1] for r in rows]})
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs(docs, 0.95, dense_vocab_limit=0).collect()
+    }
+    for limit in (0, 4096):  # forced LSH / adaptive (dense here)
+        got = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in minhash_dedup(docs, 0.95, dense_vocab_limit=limit).collect()
+        }
+        assert got == exact, f"route limit={limit}"
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in exact:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict[int, int] = {}
+    for v in parent:
+        root = find(v)
+        comp_min[root] = min(comp_min.get(root, v), v)
+    want = {}
+    for did, _ in rows:
+        keep = comp_min[find(did)] if did in parent else did
+        want[did] = (keep, keep, int(did != keep))
+    got_r = {
+        r.doc_id: (r.cluster_id, r.keep_id, r.is_dup)
+        for r in neardup_resolve(docs, 0.95).collect()
+    }
+    assert got_r == want
+
+
 def test_null_text_docs_stay_singletons(spark):
     """NULL-text docs must neither vanish from the verdicts (NULL md5
     keys never equi-join — review finding r3) nor cluster with each
