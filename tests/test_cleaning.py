@@ -131,6 +131,26 @@ def test_gopher_filter_verdicts(spark, messy):
     assert messy_out[4].fail_tokens == 1  # empty doc
     assert all(r.keep == 0 for r in messy_out.values())  # all tiny docs
 
+    # NULL text (ADVICE r3): flags and keep must be DEFINED (0/1, never
+    # NULL) — a quarantine filter on keep == 0 has to catch null docs
+    import pandas as pd
+
+    nulls = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1], "text": [None, "x"]}).astype(
+            {"doc_id": "int64", "text": "object"}
+        )
+    )
+    nr = {r.doc_id: r for r in gopher_filter(nulls).collect()}
+    assert nr[0].keep == 0 and nr[0].fail_tokens == 1 and nr[0].fail_stop == 1
+    assert all(
+        getattr(nr[0], c) is not None
+        for c in (
+            "n_tokens", "mean_tok_len", "n_stop_hits", "dup_line_frac",
+            "dup_para_frac", "fail_tokens", "fail_tok_len", "fail_stop",
+            "fail_dup_line", "fail_dup_para", "keep",
+        )
+    )
+
 
 def test_curate_corpus_composition(spark):
     """extract -> scrub -> quality floor -> dedup composes into ONE DAG:

@@ -371,3 +371,199 @@ def test_incremental_plan_never_rebands_corpus(spark, docs):
     assert f"{tmp}/reps" in p  # verification reads stored texts (JVM)
     # no Python evaluation anywhere else (index tokenization is JVM)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def _fail_write_on(monkeypatch, suffix: str):
+    """Patch DataFrameWriter.parquet to raise on the FIRST write whose
+    path ends with ``suffix`` — simulates a crash mid-update, after the
+    earlier appends committed but before this one."""
+    from pyspark.sql.readwriter import DataFrameWriter
+
+    orig = DataFrameWriter.parquet
+    state = {"armed": True}
+
+    def wrapped(self, path, *a, **kw):
+        if state["armed"] and path.endswith(suffix):
+            state["armed"] = False
+            raise RuntimeError(f"injected crash before {suffix} write")
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(DataFrameWriter, "parquet", wrapped)
+    return state
+
+
+def test_update_index_crash_replay(spark, monkeypatch):
+    """ADVICE r3 replay-safety: groups writes LAST, so a crash after the
+    bands/reps/merges appends but before groups leaves the exact-hash
+    shortcut disengaged — a clean retry fully re-derives the wave and
+    later deltas match the batch oracle exactly (duplicate bands/reps/
+    merges rows from the crashed attempt are deduped by consumers)."""
+    from text_ocr_spark.ops.dedup import neardup_resolve
+    from text_ocr_spark.ops.incremental import (
+        build_neardup_index,
+        incremental_resolve,
+        update_index,
+    )
+
+    wave_a = _mini_corpus(
+        spark,
+        [(10, OLD_A1), (40, OLD_B1),
+         (55, "totally unrelated words entirely disjoint vocabulary")],
+    )
+    wave_b = _mini_corpus(
+        spark, [(70, BRIDGE), (71, "fresh subject matter here today")]
+    )
+    wave_c = _mini_corpus(
+        spark,
+        [(80, "fresh subject matter here today"), (81, _w(0, 38, "x1"))],
+    )
+
+    tmp = tempfile.mkdtemp(prefix="inc_crash_")
+    build_neardup_index(wave_a, tmp, threshold=THRESH)
+
+    state = _fail_write_on(monkeypatch, "/groups")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        update_index(spark, wave_b, tmp, threshold=THRESH)
+    assert not state["armed"]  # the crash actually fired mid-update
+
+    # checkpoint replay: the same wave runs again, now to completion
+    b_verdicts = _verdicts(update_index(spark, wave_b, tmp, threshold=THRESH))
+    c_verdicts = _verdicts(
+        incremental_resolve(spark, wave_c, tmp, threshold=THRESH)
+    )
+
+    union = wave_a.unionByName(wave_b).unionByName(wave_c)
+    batch = _verdicts(neardup_resolve(union, threshold=THRESH))
+    assert b_verdicts == {k: batch[k] for k in (70, 71)}
+    assert c_verdicts == {k: batch[k] for k in (80, 81)}
+    # the exact-hash path sees ONE groups row for B's fresh text even
+    # after the replay (groups was never double-written)
+    groups = spark.read.parquet(f"{tmp}/groups")
+    assert groups.groupBy("text_hash").count().filter("count > 1").count() == 0
+
+
+def test_update_embed_index_crash_replay(spark, emb, monkeypatch):
+    """Embedding twin (ADVICE r3): a crash after the vecs/blockbuckets/
+    emerges appends but before clusters must leave the index in a state
+    a clean retry heals — the delta-id exclusion keeps the retry from
+    contracting delta vecs onto half-written rows or forking a new wave
+    id, and later waves still match the batch oracle."""
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.dedup import embed_resolve
+    from text_ocr_spark.ops.incremental import (
+        build_embed_index,
+        embed_incremental_resolve,
+        update_embed_index,
+    )
+
+    a = emb.filter(F.col("vec_id") % 3 == 0)
+    b = emb.filter(F.col("vec_id") % 3 == 1)
+    c = emb.filter(F.col("vec_id") % 3 == 2)
+    tmp = tempfile.mkdtemp(prefix="einc_crash_")
+    build_embed_index(a, tmp)
+
+    state = _fail_write_on(monkeypatch, "/clusters")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        update_embed_index(spark, b, tmp)
+    assert not state["armed"]
+
+    b_got = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in update_embed_index(spark, b, tmp).collect()
+    }
+    c_got = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in embed_incremental_resolve(spark, c, tmp).collect()
+    }
+    ab = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in embed_resolve(a.unionByName(b)).collect()
+        if r.vec_id % 3 == 1
+    }
+    abc = {
+        r.vec_id: (r.cluster_id, r.is_dup)
+        for r in embed_resolve(emb).collect()
+        if r.vec_id % 3 == 2
+    }
+    assert b_got == ab
+    assert c_got == abc
+    # one cluster row per delta vec despite the replay (clusters was
+    # never double-written); vecs duplicates are expected and benign
+    clusters = spark.read.parquet(f"{tmp}/clusters")
+    assert clusters.groupBy("vec_id").count().filter("count > 1").count() == 0
+
+
+def test_compact_index_preserves_verdicts(spark):
+    """VERDICT r3 item 8: compacting after the bridge wave (healed
+    groups labels, truncated merges) must not change any later delta's
+    verdicts vs the uncompacted twin, and merges/ is actually empty so
+    future resolves fold zero stale edges."""
+    from text_ocr_spark.ops.incremental import (
+        build_neardup_index,
+        compact_index,
+        incremental_resolve,
+        update_index,
+    )
+
+    wave_a = [(10, OLD_A1), (40, OLD_B1),
+              (55, "totally unrelated words entirely disjoint vocabulary")]
+    wave_b = [(70, BRIDGE), (71, "fresh subject matter here today")]
+    wave_c = [(80, "fresh subject matter here today"), (81, _w(0, 38, "x1")),
+              (82, "nothing matches this string anywhere")]
+
+    tmps = []
+    verdicts = []
+    for compact in (False, True):
+        tmp = tempfile.mkdtemp(prefix=f"inc_compact_{compact}_")
+        tmps.append(tmp)
+        build_neardup_index(_mini_corpus(spark, wave_a), tmp, threshold=THRESH)
+        update_index(spark, _mini_corpus(spark, wave_b), tmp, threshold=THRESH)
+        if compact:
+            assert spark.read.parquet(f"{tmp}/merges").count() > 0  # the
+            # bridge really produced merge edges — compaction has work
+            compact_index(spark, tmp)
+            assert spark.read.parquet(f"{tmp}/merges").count() == 0
+            # healed labels: every group points at its component minimum
+            g = spark.read.parquet(f"{tmp}/groups")
+            assert g.filter("cluster_id > rep_id").count() == 0
+        verdicts.append(
+            _verdicts(
+                incremental_resolve(
+                    spark, _mini_corpus(spark, wave_c), tmp, threshold=THRESH
+                )
+            )
+        )
+    assert verdicts[0] == verdicts[1]
+    assert verdicts[1][81][0] == 10  # the healed bridge component
+
+
+def test_compact_embed_index_preserves_verdicts(spark, emb):
+    """Embedding twin of the compaction differential."""
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.incremental import (
+        build_embed_index,
+        compact_embed_index,
+        embed_incremental_resolve,
+        update_embed_index,
+    )
+
+    a = emb.filter(F.col("vec_id") % 3 == 0)
+    b = emb.filter(F.col("vec_id") % 3 == 1)
+    c = emb.filter(F.col("vec_id") % 3 == 2)
+    verdicts = []
+    for compact in (False, True):
+        tmp = tempfile.mkdtemp(prefix=f"einc_compact_{compact}_")
+        build_embed_index(a, tmp)
+        update_embed_index(spark, b, tmp)
+        if compact:
+            compact_embed_index(spark, tmp)
+            assert spark.read.parquet(f"{tmp}/emerges").count() == 0
+        verdicts.append(
+            {
+                r.vec_id: (r.cluster_id, r.is_dup)
+                for r in embed_incremental_resolve(spark, c, tmp).collect()
+            }
+        )
+    assert verdicts[0] == verdicts[1]

@@ -207,13 +207,22 @@ def test_dense_tiles_multiblock_regression(spark, docs, emb):
 
     from text_ocr_spark.ops.dedup import (
         _dense_jaccard_pairs,
-        _probe_small_vocab,
+        _probe_corpus,
         _toks_of,
         embed_pairs,
         jaccard_pairs,
     )
 
-    vocab, n_docs = _probe_small_vocab(_toks_of(docs), 4096)
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.dedup import tokens_col
+
+    vocab, _, n_docs = _probe_corpus(
+        docs.select(
+            "doc_id", F.col("doc_id").alias("key"), tokens_col().alias("toks")
+        ),
+        4096,
+    )
     assert vocab is not None
     exact = {
         (r.doc_a, r.doc_b, r.jaccard)
@@ -430,12 +439,14 @@ def test_simhash_rep_banding_sees_one_row_per_group(spark):
 
 
 def test_minhash_auxiliary_actions_bounded(spark, docs, monkeypatch):
-    """Tokenize-once discipline (VERDICT r2 item 5): a minhash_dedup CALL
-    triggers at most the strategy probe as a driver-blocking auxiliary
-    action — 0 when the route is forced, 1 when the probe rejects dense,
-    2 (probe + bounded vocab collect) only on the small-vocab path.
-    Counted by patching the DataFrame action surface (AQE splits one
-    action into several jobs, so job counts are not the honest unit)."""
+    """Tokenize-once discipline (VERDICT r2 item 5, extended by the r4
+    dup-rate gate): a minhash_dedup CALL triggers at most ONE probe pass
+    as a driver-blocking auxiliary action — the same pass feeds the
+    collapse gate AND the strategy pick — plus the bounded vocab collect
+    only on the small-vocab path. Forcing BOTH decisions (collapse=...,
+    dense_vocab_limit=0) runs zero auxiliary actions. Counted by
+    patching the DataFrame action surface (AQE splits one action into
+    several jobs, so job counts are not the honest unit)."""
     from text_ocr_spark.ops.dedup import minhash_dedup
 
     cls = type(docs)  # the RUNTIME class (pyspark.sql.classic.DataFrame)
@@ -456,8 +467,13 @@ def test_minhash_auxiliary_actions_bounded(spark, docs, monkeypatch):
 
         monkeypatch.setattr(cls, name, wrap)
 
-    minhash_dedup(docs, 0.95, dense_vocab_limit=0)  # forced LSH
+    # both decisions forced: zero auxiliary actions
+    minhash_dedup(docs, 0.95, dense_vocab_limit=0, collapse=True)
     assert calls == []
+    # forced LSH, adaptive collapse: exactly the one dup-gate probe
+    minhash_dedup(docs, 0.95, dense_vocab_limit=0)
+    assert len(calls) == 1
+    calls.clear()
     minhash_dedup(docs, 0.95, dense_vocab_limit=4)  # probe says big vocab
     assert len(calls) == 1
     calls.clear()
@@ -673,3 +689,143 @@ def test_resolve_pairs_random_graphs_and_long_path(spark):
             for v in members:
                 want[v] = mn
         assert got == want, (len(nodes), len(edges))
+
+
+def test_collapse_gate_skips_on_low_dup_corpora(spark, docs, caplog):
+    """r4 dup-rate gate (VERDICT r3 item 1): a corpus of distinct texts
+    skips the exact-dup collapse (logged — no silent strategy change),
+    the dup-heavy fixture corpus engages it, and forced-on vs forced-off
+    are output-identical on BOTH corpora — the gate is a physical
+    decision, never a semantic one."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.dedup import (
+        minhash_dedup,
+        neardup_resolve,
+        simhash_pairs,
+    )
+
+    lowdup = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+    )
+    logger = "text_ocr_spark.ops.dedup"
+
+    def skipped() -> bool:
+        return any("SKIPPED" in r.getMessage() for r in caplog.records)
+
+    with caplog.at_level(logging.INFO, logger=logger):
+        caplog.clear()
+        auto = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in minhash_dedup(lowdup, 0.95).collect()
+        }
+        assert skipped()  # zero-dup corpus: gate skips
+        forced_on = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in minhash_dedup(lowdup, 0.95, collapse=True).collect()
+        }
+        forced_off = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in minhash_dedup(lowdup, 0.95, collapse=False).collect()
+        }
+        assert auto == forced_on == forced_off
+
+        # the fixture documents corpora are (nearly) dup-free, so the
+        # production default on them is ALSO skip — the bench claw-back.
+        # Build a genuinely dup-heavy corpus (every text duplicated,
+        # rate 0.5) for the engage direction:
+        heavy = docs.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + 100000)
+        )
+        caplog.clear()
+        auto_h = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in minhash_dedup(heavy, 0.95).collect()
+        }
+        assert not skipped()  # 50%-dup corpus: collapse engages
+
+        # forced-off still equals forced-on at a high dup rate (the
+        # algebra holds in both directions at any dup rate)
+        off = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in minhash_dedup(heavy, 0.95, collapse=False).collect()
+        }
+        assert auto_h == off and len(off) > 0
+
+        sh_on = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_pairs(heavy, collapse=True).collect()
+        }
+        sh_off = {
+            (r.doc_a, r.doc_b, r.hamming)
+            for r in simhash_pairs(heavy, collapse=False).collect()
+        }
+        assert sh_on == sh_off and len(sh_on) > 0
+
+        rs_on = {
+            r.doc_id: (r.cluster_id, r.keep_id, r.is_dup)
+            for r in neardup_resolve(heavy, 0.95, collapse=True).collect()
+        }
+        rs_off = {
+            r.doc_id: (r.cluster_id, r.keep_id, r.is_dup)
+            for r in neardup_resolve(heavy, 0.95, collapse=False).collect()
+        }
+        assert rs_on == rs_off
+
+
+def test_shingle_mode_sees_word_order(spark):
+    """w-shingles (ngram > 1) are order-sensitive where token sets are
+    not: two docs with the same vocabulary in different order score 1.0
+    under token sets but < 1.0 under 3-shingles; identical docs score
+    1.0 under both; short docs (< n tokens) fall back to one whole-doc
+    shingle so identical short docs still pair."""
+    import pandas as pd
+
+    from text_ocr_spark.ops.dedup import jaccard_pairs, minhash_dedup
+
+    words = [f"w{i}" for i in range(40)]
+    fwd = " ".join(words)
+    rev = " ".join(reversed(words))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3, 4, 5, 6],
+            "text": [fwd, rev, fwd, "tiny doc", "tiny doc", "doc tiny", None],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+
+    uni = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_dedup(docs, 0.95, ngram=1).collect()
+    }
+    # token sets: reordered doc is a "perfect" dup — the failure mode
+    assert uni[(0, 1)] == 1.0 and uni[(0, 2)] == 1.0
+    assert uni[(3, 4)] == 1.0 and uni[(3, 5)] == 1.0  # tiny reorder too
+
+    tri = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_dedup(docs, 0.95, ngram=3).collect()
+    }
+    assert (0, 1) not in tri  # shingles see the reordering
+    assert tri[(0, 2)] == 1.0  # identical docs still pair
+    assert tri[(3, 4)] == 1.0  # identical short docs: whole-doc shingle
+    assert (3, 5) not in tri  # reordered short docs do not
+
+    # shingled minhash == shingled exact jaccard (ground truth parity,
+    # including the sub-n whole-doc fallback), on both forced routes
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs(docs, 0.95, dense_vocab_limit=0, ngram=3).collect()
+    }
+    for limit in (0, 4096):
+        got = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in minhash_dedup(
+                docs, 0.95, dense_vocab_limit=limit, ngram=3
+            ).collect()
+        }
+        assert got == exact, f"route limit={limit}"

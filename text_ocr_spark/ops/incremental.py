@@ -69,7 +69,7 @@ def _paths(path: str) -> dict[str, str]:
 
 
 def build_neardup_index(
-    docs: DataFrame, path: str, threshold: float = 0.95
+    docs: DataFrame, path: str, threshold: float = 0.95, ngram: int = 1
 ) -> None:
     """Batch-resolve ``docs`` and persist the probe index at ``path``.
 
@@ -92,11 +92,11 @@ def build_neardup_index(
 
     stored = spark.read.parquet(p["reps"])  # (rep_id, text)
     rep_docs = stored.select(F.col("rep_id").alias("doc_id"), "text")
-    band_signatures(_toks_of(rep_docs)).withColumnRenamed(
+    band_signatures(_toks_of(rep_docs, ngram)).withColumnRenamed(
         "doc_id", "rep_id"
     ).write.mode("overwrite").parquet(p["bands"])
 
-    rep_pairs = _rep_neardup_pairs(rep_docs, threshold, DENSE_VOCAB_LIMIT)
+    rep_pairs = _rep_neardup_pairs(rep_docs, threshold, DENSE_VOCAB_LIMIT, ngram)
     resolved = resolve_pairs(
         rep_docs.select("doc_id"), rep_pairs.select("doc_a", "doc_b")
     ).select(F.col("doc_id").alias("rep_id"), "cluster_id")
@@ -113,11 +113,11 @@ def build_neardup_index(
     )
 
 
-def init_neardup_index(spark: SparkSession, path: str) -> None:
+def init_neardup_index(spark: SparkSession, path: str, ngram: int = 1) -> None:
     """Bootstrap an EMPTY index (stream-from-scratch): the first
     ``update_index`` micro-batch then behaves as the initial build."""
     build_neardup_index(
-        spark.createDataFrame([], "doc_id long, text string"), path
+        spark.createDataFrame([], "doc_id long, text string"), path, ngram=ngram
     )
 
 
@@ -126,6 +126,7 @@ def incremental_edges(
     new_reps: DataFrame,
     path: str,
     threshold: float = 0.95,
+    ngram: int = 1,
 ) -> DataFrame:
     """(u, v) component edges for the delta's representatives:
     exact-hash shortcuts, verified delta->old collisions, verified
@@ -152,7 +153,7 @@ def incremental_edges(
         nh.join(groups.select("text_hash"), "text_hash", "left_anti")
         .select(F.col("nrep").alias("doc_id"), "text")
     )
-    toks_new = _toks_of(unmatched)
+    toks_new = _toks_of(unmatched, ngram)
 
     # delta -> old: delta band rows probe the PERSISTED band index
     bands_new = band_signatures(toks_new)
@@ -172,7 +173,7 @@ def incremental_edges(
         F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")
     )
     otoks_b = reps_idx.select(
-        F.col("rep_id").alias("doc_b"), tokens_col().alias("toks_b")
+        F.col("rep_id").alias("doc_b"), tokens_col("text", ngram).alias("toks_b")
     )
     old_edges = (
         verified_jaccard(cand_old, ntoks_a, otoks_b, threshold)
@@ -203,12 +204,13 @@ def incremental_resolve(
     new_docs: DataFrame,
     path: str,
     threshold: float = 0.95,
+    ngram: int = 1,
 ) -> DataFrame:
     """-> (doc_id, cluster_id, keep_id, is_dup) for the DELTA docs,
     equal to batch ``neardup_resolve(corpus UNION delta)`` restricted to
     the delta (see module docstring for the exactness argument)."""
     n_reps, n_members = collapse_exact(new_docs)
-    edges = incremental_edges(spark, n_reps, path, threshold)
+    edges = incremental_edges(spark, n_reps, path, threshold, ngram)
     resolved = resolve_pairs(
         n_reps.select("doc_id"),
         edges.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b")),
@@ -303,8 +305,17 @@ def _next_wave(stored_vecs: DataFrame) -> int:
 def _delta_frame(
     spark: SparkSession, new_vecs: DataFrame, path: str, block_size: int
 ) -> tuple[DataFrame, int]:
-    """Wave-namespaced delta blocks; ONE count / max-wave probe pair."""
-    stored = spark.read.parquet(_epaths(path)["vecs"])
+    """Wave-namespaced delta blocks; ONE count / max-wave probe pair.
+
+    The max-wave probe excludes the delta's own vec_ids (ADVICE r3): if
+    a crashed ``update_embed_index`` attempt already appended this
+    delta's vectors, a retry must compute the SAME wave (and therefore
+    identical block ids) as the first attempt — appends become row-level
+    duplicates that every consumer dedups, instead of a new wave that
+    permanently forks the same vectors under different block ids."""
+    stored = spark.read.parquet(_epaths(path)["vecs"]).join(
+        new_vecs.select("vec_id"), "vec_id", "left_anti"
+    )
     n_delta = new_vecs.count()
     wave = _next_wave(stored)
     delta = new_vecs.select("vec_id", "embedding").withColumn(
@@ -347,9 +358,18 @@ def _embed_edges(
     )
 
     p = _epaths(path)
-    stored = spark.read.parquet(p["vecs"])
+    delta_ids = delta.select("vec_id")
+    # exclude the current delta's own vec_ids from every stored read
+    # (ADVICE r3): a retry after a partial crash (vecs and/or clusters
+    # already appended by the failed attempt) then sees exactly the
+    # pre-update corpus — edges keep touching the delta's raw node ids
+    # instead of contracting each delta vec onto its own half-written
+    # cluster row, so the retry is idempotent. No-op on a clean run.
+    stored = spark.read.parquet(p["vecs"]).join(delta_ids, "vec_id", "left_anti")
     bb_old = spark.read.parquet(p["blockbuckets"])
-    clusters = spark.read.parquet(p["clusters"])
+    clusters = spark.read.parquet(p["clusters"]).join(
+        delta_ids, "vec_id", "left_anti"
+    )
     merges = spark.read.parquet(p["emerges"])
 
     # block census: delta count is known; old blocks come from the tiny
@@ -509,7 +529,11 @@ def update_embed_index(
     thr = EMBED_THRESHOLD if threshold is None else threshold
     bs = DENSE_BLOCK if block_size is None else block_size
     p = _epaths(path)
-    clusters = spark.read.parquet(p["clusters"])
+    # same delta-id exclusion as _embed_edges: a retry must not treat
+    # the crashed attempt's half-written cluster rows as old labels
+    clusters = spark.read.parquet(p["clusters"]).join(
+        new_vecs.select("vec_id"), "vec_id", "left_anti"
+    )
 
     delta, n_delta = _delta_frame(spark, new_vecs, path, bs)
     edges = _embed_edges(
@@ -537,10 +561,16 @@ def update_embed_index(
         .distinct()
     )
 
+    # clusters lands LAST (ADVICE r3): until its append commits, a
+    # replay re-derives everything (the delta-id exclusion above makes
+    # the reads idempotent, and vecs/blockbuckets/emerges duplicates
+    # from a crashed attempt are deduped by consumers). On a real
+    # deployment this path wants the transactional (Iceberg) sink —
+    # see STATUS.md's Iceberg note.
     delta.write.mode("append").parquet(p["vecs"])
     _delta_blockbuckets(delta).write.mode("append").parquet(p["blockbuckets"])
-    resolved.write.mode("append").parquet(p["clusters"])
     old_touch.write.mode("append").parquet(p["emerges"])
+    resolved.write.mode("append").parquet(p["clusters"])
 
     return resolved.select(
         "vec_id",
@@ -555,6 +585,7 @@ def update_index(
     new_docs: DataFrame,
     path: str,
     threshold: float = 0.95,
+    ngram: int = 1,
 ) -> DataFrame:
     """Fold a delta into the index (append-only) and return its verdicts.
 
@@ -569,7 +600,11 @@ def update_index(
     groups = spark.read.parquet(p["groups"])
 
     n_reps, n_members = collapse_exact(new_docs)
-    edges = incremental_edges(spark, n_reps, path, threshold)
+    # freeze the edge set BEFORE any index write: every later action
+    # (the four appends re-trigger their lazy inputs) then reads the
+    # pre-update index state through the checkpoint instead of its own
+    # partial writes, and the delta banding runs once, not per write
+    edges = incremental_edges(spark, n_reps, path, threshold, ngram).localCheckpoint()
     resolved = resolve_pairs(
         n_reps.select("doc_id"),
         edges.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b")),
@@ -601,20 +636,133 @@ def update_index(
     )
 
     bands_new = band_signatures(
-        _toks_of(unmatched.select(F.col("rep_id").alias("doc_id"), "text"))
+        _toks_of(unmatched.select(F.col("rep_id").alias("doc_id"), "text"), ngram)
     ).withColumnRenamed("doc_id", "rep_id")
     groups_new = unmatched.join(resolved, "rep_id").select(
         "text_hash", "rep_id", "cluster_id"
     )
 
+    # write order is the crash-replay contract (ADVICE r3): groups goes
+    # LAST. The exact-hash shortcut in incremental_edges keys on groups —
+    # if a crash lands after bands/reps/merges but before groups, a
+    # checkpoint replay of the same batch finds its docs UNMATCHED and
+    # fully re-derives bands/reps/merges (duplicate rows are deduped by
+    # every consumer: band candidates and merge edges are .distinct()'d,
+    # rep texts ride semi/equi joins where multiplicity cancels). With
+    # groups first, a replayed doc would exact-match its own half-written
+    # group row, skip banding, and permanently lose the merge edges and
+    # rep rows the crashed attempt never wrote. On Iceberg this whole
+    # function is one transaction and the ordering is moot.
     bands_new.write.mode("append").parquet(p["bands"])
-    groups_new.write.mode("append").parquet(p["groups"])
     unmatched.select("rep_id", "text").write.mode("append").parquet(p["reps"])
     old_touch.write.mode("append").parquet(p["merges"])
+    groups_new.write.mode("append").parquet(p["groups"])
 
     return n_members.join(resolved, "rep_id").select(
         "doc_id",
         "cluster_id",
         F.col("cluster_id").alias("keep_id"),
         (F.col("doc_id") != F.col("cluster_id")).cast("int").alias("is_dup"),
+    )
+
+
+# --------------------------------------------------------------------------
+# index compaction: fold accumulated merge edges into stored labels
+# --------------------------------------------------------------------------
+
+def _heal_labels(
+    labels: DataFrame, merges: DataFrame, label_col: str
+) -> DataFrame:
+    """(old label -> merge-component minimum) mapping over the merge
+    graph, seeded from every stored label plus every merge endpoint.
+    Star-contraction (resolve_pairs) — O(log n) rounds, no driver
+    collect of the label set."""
+    nodes = (
+        labels.select(F.col(label_col).alias("doc_id"))
+        .unionByName(merges.select(F.col("u").alias("doc_id")))
+        .unionByName(merges.select(F.col("v").alias("doc_id")))
+        .distinct()
+    )
+    return resolve_pairs(
+        nodes, merges.select(F.col("u").alias("doc_a"), F.col("v").alias("doc_b"))
+    ).select(F.col("doc_id").alias(label_col), F.col("keep_id").alias("healed"))
+
+
+def _swap_dir(tmp: str, live: str) -> None:
+    """Replace a live parquet directory with its rewritten twin. Plain
+    filesystem renames are NOT transactional (a crash between the two
+    renames loses the live copy until the .old backup is restored by
+    hand) — acceptable for a maintenance op run out-of-band; the real
+    deployment sink is Iceberg, where compaction is one REPLACE
+    transaction (STATUS.md Iceberg note)."""
+    import os
+    import shutil
+
+    old = live + ".old"
+    os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old)
+
+
+def compact_index(spark: SparkSession, path: str) -> None:
+    """Fold the accumulated ``merges/`` edges into ``groups/`` cluster
+    labels and truncate ``merges/`` (VERDICT r3 item 8).
+
+    ``merges/`` grows append-only — every future resolve folds the full
+    merge set into its component computation, so an index that lives
+    through many waves pays O(|merges|) per delta forever. Compaction
+    rewrites each group's ``cluster_id`` to the minimum of its label's
+    merge-component (the exact value the deferred union-find would have
+    produced) and empties ``merges/``.
+
+    Verdict-equivalence: ``incremental_edges`` unions merges into the
+    delta edge set; a delta component that reached old labels
+    {c1..ck} previously also reached their merge closures, and the
+    component minimum was min over those closures. After healing, each
+    group's label IS its closure minimum, so the delta reaches the same
+    minima through the exact-hash/banding joins directly — identical
+    verdicts (pytest differential across waves). Truncating merges LAST
+    keeps a crash window harmless: stale merge edges between
+    already-healed labels form components disjoint from any delta node
+    and drop out of its verdicts (folding them twice is idempotent).
+    """
+    p = _paths(path)
+    groups = spark.read.parquet(p["groups"])
+    merges = spark.read.parquet(p["merges"])
+    if merges.limit(1).count() == 0:
+        return
+    mapping = _heal_labels(groups, merges, "cluster_id")
+    healed = groups.join(mapping, "cluster_id", "left").select(
+        "text_hash",
+        "rep_id",
+        F.coalesce("healed", F.col("cluster_id")).alias("cluster_id"),
+    )
+    tmp = p["groups"] + ".compact"
+    healed.write.mode("overwrite").parquet(tmp)
+    _swap_dir(tmp, p["groups"])
+    spark.createDataFrame([], "u long, v long").write.mode("overwrite").parquet(
+        p["merges"]
+    )
+
+
+def compact_embed_index(spark: SparkSession, path: str) -> None:
+    """The embedding twin: fold ``emerges/`` into ``clusters/`` labels
+    and truncate ``emerges/`` (same equivalence argument — _embed_edges
+    contracts pair endpoints onto stored labels and unions the merge
+    edges, so healing the labels and dropping the edges commutes)."""
+    p = _epaths(path)
+    clusters = spark.read.parquet(p["clusters"])
+    merges = spark.read.parquet(p["emerges"])
+    if merges.limit(1).count() == 0:
+        return
+    mapping = _heal_labels(clusters, merges, "cluster_id")
+    healed = clusters.join(mapping, "cluster_id", "left").select(
+        "vec_id",
+        F.coalesce("healed", F.col("cluster_id")).alias("cluster_id"),
+    )
+    tmp = p["clusters"] + ".compact"
+    healed.write.mode("overwrite").parquet(tmp)
+    _swap_dir(tmp, p["clusters"])
+    spark.createDataFrame([], "u long, v long").write.mode("overwrite").parquet(
+        p["emerges"]
     )
