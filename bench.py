@@ -6,7 +6,11 @@ Queries timed (post-warmup of the Spark session):
 - extract:      the flagship transcript extraction pipeline (turns/sec is
                 the north-star metric; corpus replicated x REPEAT so python
                 work dominates JVM fixed costs)
-- dedup_minhash: MinHash LSH + verified jaccard over documents
+- dedup_minhash: MinHash LSH + verified jaccard over documents (the
+                corpus is ~dup-free, so the r4 dup-rate gate takes the
+                collapse-skip path — the r3 regression clawed back)
+- dedup_minhash_dupheavy: the same op over a materialized every-text-
+                twice twin corpus — the collapse-ENGAGED regime
 - knn_topk:     brute-force cosine top-k over embeddings
 - q1:           TPC-H Q1 shape over lineitem
 - token_stats:  JVM-only text analysis sweep
@@ -69,19 +73,26 @@ def main() -> int:
     # queries report steady-state throughput (extract_job does the same)
     extract_corpus(spark, sf_dir, repeat=1, num_partitions=partitions).count()
 
+    passes = int(os.environ.get("SPARK_GRAFT_PASSES", "3"))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    all_passes: dict[str, list[float]] = {}
     extra: dict[str, float] = {}
 
     def timed(name: str, fn) -> None:
-        # best of 2: this guest shows ~20% run-to-run swings (hypervisor
-        # neighbors); the better pass reports the job's capability, the
-        # worse one the host's mood (BENCH/BASELINE.md protocol)
-        best = float("inf")
-        for _ in range(2):
+        # this guest shows ~20% run-to-run swings (hypervisor
+        # neighbors); `queries` reports the best pass (the job's
+        # capability), `queries_median` the median (VERDICT r3 item 7:
+        # attributable regressions), `queries_all` every raw pass
+        times: list[float] = []
+        for _ in range(passes):
             t0 = time.time()
             result = fn()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            times.append(time.time() - t0)
+        srt = sorted(times)
+        timings[name] = round(srt[0], 3)
+        medians[name] = round(srt[len(srt) // 2], 3)
+        all_passes[name] = [round(t, 3) for t in times]
         if isinstance(result, dict):
             extra.update(result)
 
@@ -103,8 +114,22 @@ def main() -> int:
             f"curate plan regressed: {n_arrow} Arrow stages (want 1)"
         )
 
+    # dup-heavy twin of the documents corpus (every text twice,
+    # materialized so the timed query sees a realistic parquet scan):
+    # exercises the collapse-ENGAGED path at bench scale, while the real
+    # documents corpus (~0% exact dups) now takes the gate's skip path —
+    # both regimes stay visible in the bench record
+    import tempfile
+
+    dup_dir = tempfile.mkdtemp(prefix="bench_dupheavy_") + "/docs.parquet"
+    docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+    ).write.mode("overwrite").parquet(dup_dir)
+    docs_dup = spark.read.parquet(dup_dir)
+
     timed("extract", run_extract)
     timed("dedup_minhash", lambda: minhash_dedup(docs).count())
+    timed("dedup_minhash_dupheavy", lambda: minhash_dedup(docs_dup).count())
     timed("knn_topk", lambda: brute_topk(emb).count())
     timed("q1", lambda: q1_pricing_summary(spark, sf_dir).count())
     timed("token_stats", lambda: token_stats(docs).count())
@@ -119,6 +144,9 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "queries_all": all_passes,
+                "passes": passes,
                 "sf": sf,
                 "cpus": cpus,
                 "repeat": repeat,

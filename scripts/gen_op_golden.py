@@ -149,6 +149,59 @@ def golden_knn_lsh(emb: pd.DataFrame) -> pd.DataFrame:
 
 
 # --------------------------------------------------------------------------
+# trained IVF assignment (spec: ops/similarity.py ivf_train + ivf_assign)
+# --------------------------------------------------------------------------
+
+KMEANS_SCALE = 1 << 24
+KMEANS_K = 8
+KMEANS_ITERS = 4
+
+
+def _half_up(x: float) -> int:
+    """Spark F.round(double, 0) semantics (HALF_UP, away from zero);
+    exact for |x| < 2^51 where x +- 0.5 is representable."""
+    return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+
+def golden_ivf_train(emb: pd.DataFrame) -> pd.DataFrame:
+    """Replay ivf_train end to end in pure Python: md5-seeded init, the
+    sequential-fold double cosine for every assignment (bit-identical to
+    cosine_col), exact int64 fixed-point mean updates, then the final
+    ivf_assign against the trained centroids."""
+    ids = [int(i) for i in emb["vec_id"]]
+    vecs = {
+        int(i): [float(np.float32(v)) for v in e]
+        for i, e in zip(emb["vec_id"], emb["embedding"])
+    }
+    seed_order = sorted(
+        ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )
+    cents = [list(vecs[i]) for i in seed_order[:KMEANS_K]]
+
+    def assign(vid: int) -> int:
+        scored = sorted(
+            ((seq_cosine(vecs[vid], c), cid) for cid, c in enumerate(cents)),
+            key=lambda x: (-x[0], x[1]),
+        )
+        return scored[0][1]
+
+    for _ in range(KMEANS_ITERS):
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for vid in ids:
+            cid = assign(vid)
+            acc = sums.setdefault(cid, [0] * len(vecs[vid]))
+            for d, v in enumerate(vecs[vid]):
+                acc[d] += _half_up(v * float(KMEANS_SCALE))
+            counts[cid] = counts.get(cid, 0) + 1
+        for cid, acc in sums.items():
+            cents[cid] = [(q / counts[cid]) / KMEANS_SCALE for q in acc]
+
+    rows = [(vid, assign(vid)) for vid in sorted(ids)]
+    return pd.DataFrame(rows, columns=["vec_id", "centroid_id"])
+
+
+# --------------------------------------------------------------------------
 # vertical (columnar) extraction — E4 transpose route
 # (spec: kernels/pdf.py extract_vertical over fixtures.build_vertical)
 # --------------------------------------------------------------------------
@@ -239,6 +292,11 @@ def main(sfs: list[str]) -> None:
                 ]
             ),
             f"fixturedata/golden_media_features_{sf}.parquet",
+        )
+        _write(
+            golden_ivf_train(emb),
+            pa.schema([("vec_id", pa.int64()), ("centroid_id", pa.int32())]),
+            f"fixturedata/golden_ivf_train_{sf}.parquet",
         )
         _write(
             golden_vertical(docs),

@@ -91,3 +91,36 @@ def test_oracle_subset(spark, duck, name):
     assert len(got) == len(want)
     neq = (got != want) & ~(got.isna() & want.isna())
     assert not neq.any().any(), got[neq.any(axis=1)].head()
+
+
+def test_events_hourly_sql_twin(spark):
+    """The spark.sql-string twin (registry tail) stays value-identical
+    to the in-window DataFrame-API events_hourly row."""
+    from text_ocr_spark.ops.relational import events_hourly, events_hourly_sql
+
+    a = _canon(events_hourly(spark, SF_TINY).toPandas())
+    b = _canon(events_hourly_sql(spark, SF_TINY).toPandas())
+    assert list(a.columns) == list(b.columns)
+    assert a.equals(b)
+
+
+def test_registry_head_covers_every_family():
+    """VERDICT r3 item 2 regression gate: the driver oracle-checks only
+    the first 50 registry entries, so the head must contain every
+    component family's representative — in particular all four
+    multimodal entries and the two r4 additions — and only documented
+    twins may sit past position 50."""
+    import __spark_entry__ as e
+
+    names = list(e.queries())
+    head, tail = names[:50], names[50:]
+    for required in (
+        "multimodal_meta", "multimodal_features", "multimodal_frames",
+        "multimodal_resize", "dedup_minhash_shingled", "ivf_train",
+        "dedup_minhash", "dedup_resolve", "stream_dedup", "curate_corpus",
+    ):
+        assert required in head, required
+    assert set(tail) <= {
+        "events_quantiles_sketch", "dedup_jaccard", "embed_resolve",
+        "events_hourly_sql", "extract_spans_debug",
+    }

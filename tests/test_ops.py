@@ -811,6 +811,8 @@ def test_shingle_mode_sees_word_order(spark):
         for r in minhash_dedup(docs, 0.95, ngram=3).collect()
     }
     assert (0, 1) not in tri  # shingles see the reordering
+    assert all(6 not in p for p in tri) and all(6 not in p for p in uni)
+    # (NULL-text doc pairs with nothing under either tokenizer)
     assert tri[(0, 2)] == 1.0  # identical docs still pair
     assert tri[(3, 4)] == 1.0  # identical short docs: whole-doc shingle
     assert (3, 5) not in tri  # reordered short docs do not
@@ -829,3 +831,60 @@ def test_shingle_mode_sees_word_order(spark):
             ).collect()
         }
         assert got == exact, f"route limit={limit}"
+
+
+def test_ivf_train_objective_and_golden(spark):
+    """VERDICT r3 item 4: distributed Lloyd's k-means. (a) the trained
+    centroids strictly improve the k-means objective (mean max-cosine to
+    the assigned centroid) over the vec_id<8 placeholder AND over the
+    1-iteration prefix (monotone-improvement property of Lloyd's);
+    (b) the trained assignment is bit-identical to the committed
+    pure-Python golden (md5-seeded init + exact int64 fixed-point means
+    make the whole training deterministic); (c) assignment cells are
+    non-degenerate. Recall at fixed n_probe is deliberately NOT asserted
+    to improve: on this near-random corpus balanced trained cells scan
+    exactly n_probe/k of the data, while the unbalanced placeholder
+    cells let queries scan far more — the efficiency, not the recall,
+    is the win, and the docstring of ivf_train says so."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.similarity import (
+        cosine_col,
+        ivf_assign,
+        ivf_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    def objective(cent):
+        a = ivf_assign(emb, centroids=cent)
+        j = (
+            emb.join(a, "vec_id")
+            .join(
+                cent.withColumnRenamed("centroid_id", "cid"),
+                F.col("centroid_id") == F.col("cid"),
+            )
+        )
+        return j.select(F.avg(cosine_col("embedding", "cv")).alias("o")).first()["o"]
+
+    placeholder = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    one = ivf_train(emb, k=8, iters=1)
+    four = ivf_train(emb, k=8, iters=4)
+    o_p, o_1, o_4 = objective(placeholder), objective(one), objective(four)
+    assert o_1 > o_p  # one Lloyd step already beats raw seed vectors
+    assert o_4 >= o_1  # Lloyd's objective is monotone
+    assert o_4 > o_p + 0.05  # materially better, not ulp noise
+
+    got = ivf_assign(emb, centroids=four).orderBy("vec_id").toPandas()
+    want = pd.read_parquet("fixturedata/golden_ivf_train_sf0.01.parquet")
+    assert (got["vec_id"].to_numpy() == want["vec_id"].to_numpy()).all()
+    assert (
+        got["centroid_id"].to_numpy() == want["centroid_id"].to_numpy()
+    ).all()
+    sizes = got["centroid_id"].value_counts()
+    assert len(sizes) == 8 and sizes.min() > 0  # no empty trained cell

@@ -105,3 +105,38 @@ def test_contract_vertical_matches_committed_golden(spark):
     assert all(k == "vertical" for k, _, _ in got.values())
     # spans are non-trivial on real payloads
     assert any(len(json.loads(sj)) > 0 for _, _, sj in got.values())
+
+
+@settings(max_examples=25, deadline=None)
+@given(WORDS, st.integers(min_value=0, max_value=10_000),
+       st.integers(min_value=0, max_value=2**31 - 1))
+def test_flow_vote_stable_under_jitter(words, doc_id, seed):
+    """VERDICT r3 item 5: the flow vote uses an epsilon band (0.75 x
+    median glyph dim), not exact float equality — +-0.3*dim coordinate
+    jitter (sub-pixel rasterization / kerning noise in real glyph
+    dumps) must not flip either route. Jitter rides the shared-axis
+    coordinate: x for vertical columns, y for horizontal rows."""
+    import random
+
+    from text_ocr_spark.fixtures import build_pdf, build_vertical
+    from text_ocr_spark.kernels.classify import classify_payload
+
+    rng = random.Random(seed)
+
+    def jitter(payload: str, axis: str) -> str:
+        out = []
+        for line in payload.split("\n"):
+            _tag, x, y, w, h, ch = line.split(" ")
+            if axis == "x":
+                x = f"{float(x) + rng.uniform(-0.3, 0.3) * float(w):.2f}"
+            else:
+                y = f"{float(y) + rng.uniform(-0.3, 0.3) * float(h):.2f}"
+            out.append(f"G {x} {y} {w} {h} {ch}")
+        return "\n".join(out)
+
+    text = " ".join(words)
+    assert classify_payload(jitter(build_pdf(doc_id, text), "y")) == "pdf"
+    assert (
+        classify_payload(jitter(build_vertical(doc_id, text), "x"))
+        == "vertical"
+    )

