@@ -165,27 +165,34 @@ def main() -> int:
             embed_pairs(emb, block_size=64, prefilter=True),
         ),
         (
-            "minhash_dedup (dense strategy at this corpus)",
-            "Exact-dup collapse (groupBy md5(text), map-side combined; the "
-            "collapse exchange computes once and is ReuseExchange'd by "
-            "every downstream reference), vocab probe routed to the dense "
-            "bitset kernel: one masks mapInPandas, a tiny blocks "
-            "aggregate, the block-pair tile cross join (B(B+1)/2 rows), "
-            "the popcount tile kernel, then the verified rep pairs expand "
-            "through the membership joins. Token arrays never shuffle.",
+            "minhash_dedup (default at this corpus: gate-skipped collapse, "
+            "dense strategy)",
+            "The r4 dup-rate gate: this corpus is ~dup-free, so the probe "
+            "skips the exact-dup collapse entirely (no rep semi-join, no "
+            "membership-expansion joins — the r3 constant overhead is "
+            "gone) and the vocab probe routes straight to the dense "
+            "bitset kernel over the raw docs: one masks mapInPandas, a "
+            "tiny blocks aggregate, the block-pair tile cross join "
+            "(B(B+1)/2 rows), the popcount tile kernel. Token arrays "
+            "never shuffle. Output provably identical to the collapsed "
+            "plan (pytest-pinned both directions).",
             minhash_dedup(docs),
         ),
         (
-            "minhash_dedup (forced LSH banding, collapse-first)",
-            "The 100 TB text path: collapse exact duplicates to one "
-            "representative per md5(text) (so the band self-join sees ONE "
-            "signature per distinct text — million-copy boilerplate can "
-            "never form an O(k^2) hot bucket), band signatures via one "
-            "mapInPandas, bucket self-join, JVM exact-jaccard verify, "
-            "then expansion of verified pairs through the exact-dup "
-            "groups (the quadratic duplication term lives only in this "
-            "final membership equi-join, not in any band bucket).",
-            minhash_dedup(docs, dense_vocab_limit=0),
+            "minhash_dedup (forced LSH banding, collapse engaged)",
+            "The 100 TB boilerplate path (what the gate engages whenever "
+            "the estimated exact-dup rate clears 2%): collapse exact "
+            "duplicates to one representative per md5(text) (so the band "
+            "self-join sees ONE signature per distinct text — "
+            "million-copy boilerplate can never form an O(k^2) hot "
+            "bucket; the collapse exchange computes once and is "
+            "ReuseExchange'd by every downstream reference), band "
+            "signatures via one mapInPandas, bucket self-join, JVM "
+            "exact-jaccard verify, then expansion of verified pairs "
+            "through the exact-dup groups (the quadratic duplication "
+            "term lives only in this final membership equi-join, not in "
+            "any band bucket).",
+            minhash_dedup(docs, dense_vocab_limit=0, collapse=True),
         ),
         (
             "incremental dedup delta probe (index side joins only)",

@@ -127,3 +127,32 @@ def test_q5_dimension_chains_broadcast(spark):
     assert len(re.findall(r"BroadcastHashJoin", p)) >= 4
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_collapse_skip_path_drops_expansion_joins(spark):
+    """r4 dup-rate gate, physical evidence: on a low-dup corpus the
+    default minhash plan must contain strictly fewer exchanges than the
+    forced-collapse plan (the rep semi-join + membership-expansion
+    joins are gone), and zero SortAggregates either way (the known
+    string-agg demotion pitfall)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.dedup import minhash_dedup
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    lowdup = (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "text")
+    )
+
+    def n_exchanges(df):
+        return len(_re.findall(r"\(\d+\) Exchange", plan_str(spark, df)))
+
+    skip = minhash_dedup(lowdup, 0.95, dense_vocab_limit=0, collapse=False)
+    full = minhash_dedup(lowdup, 0.95, dense_vocab_limit=0, collapse=True)
+    assert n_exchanges(skip) < n_exchanges(full)
+    for df in (skip, full):
+        assert "SortAggregate" not in plan_str(spark, df)
