@@ -567,3 +567,30 @@ def test_compact_embed_index_preserves_verdicts(spark, emb):
             }
         )
     assert verdicts[0] == verdicts[1]
+
+
+def test_incremental_shingled_matches_batch_union(spark, docs):
+    """ngram threading through the incremental index (r4): an index
+    built and probed with 3-gram shingles must equal the batch shingled
+    resolution of the union, restricted to the delta — the same
+    exactness contract as the unigram path."""
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.dedup import neardup_resolve
+    from text_ocr_spark.ops.incremental import (
+        build_neardup_index,
+        incremental_resolve,
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    delta = docs.filter(F.col("doc_id") % 5 == 4)
+    tmp = tempfile.mkdtemp(prefix="inc_shingle_")
+    build_neardup_index(corpus, tmp, ngram=3)
+    inc = _verdicts(incremental_resolve(spark, delta, tmp, ngram=3))
+    batch = {
+        k: v
+        for k, v in _verdicts(neardup_resolve(docs, ngram=3)).items()
+        if k % 5 == 4
+    }
+    assert inc == batch
+    assert len(inc) > 0

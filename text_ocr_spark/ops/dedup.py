@@ -356,14 +356,17 @@ def jaccard_pairs(
     collapse here), so the probe key is doc_id itself.
     """
     toks_df = _toks_of(docs, ngram)
-    probe_df = docs.select(
-        "doc_id",
-        F.col("doc_id").alias("key"),
-        tokens_col("text", ngram).alias("toks"),
-    )
-    vocab, _, n_docs = _probe_corpus(probe_df, dense_vocab_limit)
-    if vocab is not None:
-        return _dense_jaccard_pairs(docs, threshold, vocab, n_docs, toks=toks_df)
+    if dense_vocab_limit > 0:  # no dup gate here — skip the probe when forced
+        probe_df = docs.select(
+            "doc_id",
+            F.col("doc_id").alias("key"),
+            tokens_col("text", ngram).alias("toks"),
+        )
+        vocab, _, n_docs = _probe_corpus(probe_df, dense_vocab_limit)
+        if vocab is not None:
+            return _dense_jaccard_pairs(
+                docs, threshold, vocab, n_docs, toks=toks_df
+            )
     tok = toks_df.select("doc_id", F.explode("toks").alias("w"))
     card = tok.groupBy("doc_id").agg(F.count("*").alias("card"))
     a, b = tok.alias("a"), tok.alias("b")
