@@ -73,7 +73,7 @@ def main() -> int:
     # queries report steady-state throughput (extract_job does the same)
     extract_corpus(spark, sf_dir, repeat=1, num_partitions=partitions).count()
 
-    passes = int(os.environ.get("SPARK_GRAFT_PASSES", "3"))
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_PASSES", "3")))
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     all_passes: dict[str, list[float]] = {}
@@ -119,21 +119,26 @@ def main() -> int:
     # exercises the collapse-ENGAGED path at bench scale, while the real
     # documents corpus (~0% exact dups) now takes the gate's skip path —
     # both regimes stay visible in the bench record
+    import shutil
     import tempfile
 
-    dup_dir = tempfile.mkdtemp(prefix="bench_dupheavy_") + "/docs.parquet"
-    docs.unionByName(
-        docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
-    ).write.mode("overwrite").parquet(dup_dir)
-    docs_dup = spark.read.parquet(dup_dir)
+    dup_root = tempfile.mkdtemp(prefix="bench_dupheavy_")
+    try:
+        dup_dir = dup_root + "/docs.parquet"
+        docs.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + 10_000_000)
+        ).write.mode("overwrite").parquet(dup_dir)
+        docs_dup = spark.read.parquet(dup_dir)
 
-    timed("extract", run_extract)
-    timed("dedup_minhash", lambda: minhash_dedup(docs).count())
-    timed("dedup_minhash_dupheavy", lambda: minhash_dedup(docs_dup).count())
-    timed("knn_topk", lambda: brute_topk(emb).count())
-    timed("q1", lambda: q1_pricing_summary(spark, sf_dir).count())
-    timed("token_stats", lambda: token_stats(docs).count())
-    timed("curate", lambda: curate_corpus(spark, sf_dir).count())
+        timed("extract", run_extract)
+        timed("dedup_minhash", lambda: minhash_dedup(docs).count())
+        timed("dedup_minhash_dupheavy", lambda: minhash_dedup(docs_dup).count())
+        timed("knn_topk", lambda: brute_topk(emb).count())
+        timed("q1", lambda: q1_pricing_summary(spark, sf_dir).count())
+        timed("token_stats", lambda: token_stats(docs).count())
+        timed("curate", lambda: curate_corpus(spark, sf_dir).count())
+    finally:
+        shutil.rmtree(dup_root, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     turns_per_sec = round(extra.get("turns", 0) / max(timings["extract"], 1e-9), 1)

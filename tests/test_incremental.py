@@ -594,3 +594,28 @@ def test_incremental_shingled_matches_batch_union(spark, docs):
     }
     assert inc == batch
     assert len(inc) > 0
+
+
+def test_index_ngram_metadata(spark, docs):
+    """Review finding r4: the index records its tokenizer setting —
+    probing a shingle-built index with the wrong ngram raises instead of
+    silently returning near-random band collisions, and ngram=None
+    adopts the stored setting."""
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.incremental import (
+        build_neardup_index,
+        incremental_resolve,
+    )
+
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    delta = docs.filter(F.col("doc_id") % 5 == 4)
+    tmp = tempfile.mkdtemp(prefix="inc_meta_")
+    build_neardup_index(corpus, tmp, ngram=3)
+
+    with pytest.raises(ValueError, match="ngram=3"):
+        incremental_resolve(spark, delta, tmp, ngram=1)
+
+    adopted = _verdicts(incremental_resolve(spark, delta, tmp))  # None
+    explicit = _verdicts(incremental_resolve(spark, delta, tmp, ngram=3))
+    assert adopted == explicit and len(adopted) > 0

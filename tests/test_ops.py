@@ -888,3 +888,31 @@ def test_ivf_train_objective_and_golden(spark):
     ).all()
     sizes = got["centroid_id"].value_counts()
     assert len(sizes) == 8 and sizes.min() > 0  # no empty trained cell
+
+
+def test_collapse_gate_null_heavy_corpus(spark, caplog):
+    """Review finding r4: Spark's xxhash64(NULL) is the seed constant
+    (never NULL), so the probe key must branch on isNull() explicitly —
+    a null-heavy corpus of otherwise-distinct texts has dup rate 0
+    (every null doc is its own singleton rep) and must take the gate's
+    skip path, not read as dup-heavy."""
+    import logging
+
+    import pandas as pd
+
+    from text_ocr_spark.ops.dedup import minhash_dedup
+
+    n = 60
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(2 * n)),
+            "text": [None] * n
+            + [f"distinct document number {i} alpha{i} beta{i}" for i in range(n)],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    with caplog.at_level(logging.INFO, logger="text_ocr_spark.ops.dedup"):
+        caplog.clear()
+        pairs = minhash_dedup(docs, 0.95).collect()
+        assert any("SKIPPED" in r.getMessage() for r in caplog.records)
+    assert pairs == []  # nulls pair with nothing, texts are distinct

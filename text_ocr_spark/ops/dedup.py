@@ -274,24 +274,40 @@ def _expand_rep_pairs(
 _PROBE_MARGIN = 1.2
 
 
-def _probe_frame(docs: DataFrame, ngram: int = 1) -> DataFrame:
+#: relative standard deviation of the probe's rep-count HLL: 0.005
+#: makes the 0.02 dup-rate gate a 4-sigma decision (see _gate_collapse).
+#: The sketch is ~2^15 registers, merged once per PARTITION of the
+#: un-exploded (or pos==0-filtered) doc rows — nothing like the
+#: rejected 2^18-register-per-token-row vocab probe of r2.
+_REP_PROBE_RSD = 0.005
+
+
+def _probe_frame(
+    docs: DataFrame, ngram: int = 1, key_col: F.Column | None = None
+) -> DataFrame:
     """(doc_id, key, toks) probe projection over RAW docs.
 
-    ``key`` is the exact-dup group key, xxhash64(text) with NULL texts
-    mapped to a per-doc sentinel so the rep-count estimate matches
-    collapse_exact's grouping (ADVICE r3: Spark's xxhash64 returns the
-    constant seed for NULL input, which would collapse all null-text
-    docs into one probe row while collapse_exact gives each its own
-    singleton rep). The key is a long — it only feeds HLL counting, so
-    64-bit collisions are irrelevant. The probe never runs the collapse
-    shuffle in its own auxiliary job; the collapse executes only inside
-    the final query, where its exchange is reused."""
-    key = F.coalesce(
-        F.xxhash64("text"),
-        F.xxhash64(F.concat(F.lit("null:"), F.col("doc_id").cast("string"))),
-    )
+    ``key`` defaults to the exact-dup group key: xxhash64(text) with
+    NULL texts mapped to a per-doc sentinel so the rep-count estimate
+    matches collapse_exact's grouping (ADVICE r3). NOTE: Spark's
+    xxhash64 returns its SEED (42) for NULL input — it is never NULL —
+    so the null branch must be an explicit isNull() case, not a
+    coalesce (a coalesce never fires and every null-text doc would
+    collapse onto the constant key, under-counting reps AND mis-reading
+    a null-heavy corpus as dup-heavy — review finding r4). The key is a
+    long — it only feeds HLL counting, so 64-bit collisions are
+    irrelevant. Callers that tile over ALL docs (no collapse) pass
+    ``key_col=F.col('doc_id')`` so the dense cap keys on the doc count.
+    The probe never runs the collapse shuffle in its own auxiliary job;
+    the collapse executes only inside the final query, where its
+    exchange is reused."""
+    if key_col is None:
+        key_col = F.when(
+            F.col("text").isNull(),
+            F.xxhash64(F.concat(F.lit("null:"), F.col("doc_id").cast("string"))),
+        ).otherwise(F.xxhash64("text"))
     return docs.select(
-        "doc_id", key.alias("key"), tokens_col("text", ngram).alias("toks")
+        "doc_id", key_col.alias("key"), tokens_col("text", ngram).alias("toks")
     )
 
 
@@ -300,27 +316,42 @@ def _probe_corpus(
 ) -> tuple[list[str] | None, int, int]:
     """ONE aggregate pass probes the vocabulary size, the distinct-text
     (representative) count, and the doc count over a ``_probe_frame``
-    projection. Returns (vocab, n_reps_est, n_docs_est); vocab is the
+    projection. Returns (vocab, n_reps_est, n_docs_exact); vocab is the
     sorted exact vocabulary when the dense strategy applies — small
     vocab AND margin-adjusted rep count within DENSE_MAX_DOCS (the tile
     kernel is quadratic in docs, so a big small-vocab corpus must NOT
-    take it, ADVICE r1/r2) — else None. With ``dense_vocab_limit <= 0``
-    (forced-LSH callers) the pass skips tokenization entirely: a plain
-    count + key-HLL over the un-exploded frame feeds the dup-rate gate
-    at minimum cost (Catalyst prunes the unused toks column)."""
+    take it, ADVICE r1/r2) — else None.
+
+    Probe accounting (review finding r4 — the gate must out-resolve its
+    own estimator noise): n_docs is EXACT (a count, not an HLL); n_reps
+    is a tight rsd=0.005 HLL taken over one row per doc (the pos==0
+    slice of the exploded frame, so tokenized and untokenized callers
+    pay the same sketch), with null-toks docs added exactly (each is
+    its own singleton rep by the sentinel key). With
+    ``dense_vocab_limit <= 0`` (forced-route callers) the pass skips
+    tokenization entirely: count + key-HLL over the un-exploded frame
+    (Catalyst prunes the unused toks column)."""
     if dense_vocab_limit <= 0:
         row = probe_df.agg(
             F.count("*").alias("n_docs"),
-            F.approx_count_distinct("key").alias("n_reps"),
+            F.approx_count_distinct("key", _REP_PROBE_RSD).alias("n_reps"),
         ).first()
         return None, int(row["n_reps"]), int(row["n_docs"])
-    tok = probe_df.select("doc_id", "key", F.explode_outer("toks").alias("w"))
+    tok = probe_df.select(
+        "doc_id", "key", F.posexplode_outer("toks").alias("pos", "w")
+    )
+    first = F.col("pos") == 0  # exactly one row per non-null-toks doc
     probe = tok.agg(
         F.approx_count_distinct("w").alias("n_vocab"),
-        F.approx_count_distinct("key").alias("n_reps"),
-        F.approx_count_distinct("doc_id").alias("n_docs"),
+        F.approx_count_distinct(
+            F.when(first, F.col("key")), _REP_PROBE_RSD
+        ).alias("n_reps"),
+        F.sum(first.cast("long")).alias("n_docs"),
+        F.sum(F.col("pos").isNull().cast("long")).alias("n_null"),
     ).first()
-    n_reps, n_docs = int(probe["n_reps"]), int(probe["n_docs"])
+    n_null = int(probe["n_null"] or 0)
+    n_reps = int(probe["n_reps"]) + n_null
+    n_docs = int(probe["n_docs"] or 0) + n_null
     if (
         probe["n_vocab"] > dense_vocab_limit
         or n_reps * _PROBE_MARGIN > DENSE_MAX_DOCS
@@ -357,12 +388,10 @@ def jaccard_pairs(
     """
     toks_df = _toks_of(docs, ngram)
     if dense_vocab_limit > 0:  # no dup gate here — skip the probe when forced
-        probe_df = docs.select(
-            "doc_id",
-            F.col("doc_id").alias("key"),
-            tokens_col("text", ngram).alias("toks"),
+        vocab, _, n_docs = _probe_corpus(
+            _probe_frame(docs, ngram, key_col=F.col("doc_id")),
+            dense_vocab_limit,
         )
-        vocab, _, n_docs = _probe_corpus(probe_df, dense_vocab_limit)
         if vocab is not None:
             return _dense_jaccard_pairs(
                 docs, threshold, vocab, n_docs, toks=toks_df
@@ -615,11 +644,24 @@ def _dense_jaccard_pairs(
 #: overhead on a corpus with ~no exact duplicates, where banding the raw
 #: corpus is provably output-identical (the r3 equivalence proof holds
 #: in both directions at ANY dup rate — the collapse is a physical
-#: optimization, never a semantic one, so gating on a noisy HLL
-#: estimate cannot change the output). 2% sits far above the default
-#: HLL rsd (0.05 relative), so low-dup corpora skip reliably while the
-#: boilerplate-heavy regimes the collapse exists for (>> 2%) always
-#: engage it.
+#: optimization, never a semantic one, so gating on a noisy estimate
+#: cannot change the output, only the plan).
+#:
+#: Noise accounting (review finding r4): the estimate is
+#: 1 - n_reps/n_docs with n_docs EXACT and n_reps an rsd=0.005 HLL, so
+#: the 0.02 threshold is a 4-sigma decision — a dup-free corpus
+#: mis-engages the collapse with probability ~3e-5 (the safe direction:
+#: constant overhead, not a hazard), and any corpus at >= 4% true dup
+#: rate engages at >= 4 sigma.
+#:
+#: Residual (documented, structural): a RATE gate cannot see one giant
+#: exact-dup group inside an otherwise-distinct corpus (10^6 copies in
+#: 10^10 docs is rate 0.01%); if such a corpus skips, that group's band
+#: bucket is O(k^2) again. The failure-cost asymmetry is why the
+#: threshold is low (skip only on strong evidence of ~no dups), and
+#: pipelines that KNOW they carry mega-boilerplate at sub-2% rates
+#: should pass collapse=True explicitly — web-scale corpora with
+#: million-copy boilerplate in practice sit far above 2% overall.
 COLLAPSE_MIN_DUP_RATE = 0.02
 
 
@@ -669,12 +711,10 @@ def _rep_neardup_pairs(
     """
     toks_df = _toks_of(base, ngram)
     if strategy is None:
-        probe_df = base.select(
-            "doc_id",
-            F.col("doc_id").alias("key"),
-            tokens_col("text", ngram).alias("toks"),
+        vocab, n_reps, _ = _probe_corpus(
+            _probe_frame(base, ngram, key_col=F.col("doc_id")),
+            dense_vocab_limit,
         )
-        vocab, n_reps, _ = _probe_corpus(probe_df, dense_vocab_limit)
         strategy = (vocab, n_reps)
     vocab, n_base = strategy
     if vocab is not None and n_base * _PROBE_MARGIN <= DENSE_MAX_DOCS:

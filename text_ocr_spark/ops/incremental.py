@@ -68,6 +68,36 @@ def _paths(path: str) -> dict[str, str]:
     return {p: f"{path}/{p}" for p in _PARTS}
 
 
+def _write_meta(spark: SparkSession, path: str, ngram: int) -> None:
+    """Persist the index's tokenizer setting: bands are minhashed over
+    ngram-shingles, so probing with a different ngram yields essentially
+    random band collisions and silently wrong verdicts (review finding
+    r4). One-row parquet, engine-agnostic."""
+    spark.createDataFrame([(int(ngram),)], "ngram int").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+
+
+def _index_ngram(spark: SparkSession, path: str, requested: int | None) -> int:
+    """Resolve the effective ngram for an index read: None means "use
+    the stored setting"; an explicit mismatch with the stored setting is
+    an ERROR, never a silent recall collapse. Indexes built before the
+    meta table existed resolve to the requested value (default 1)."""
+    try:
+        row = spark.read.parquet(f"{path}/meta").first()
+        stored = int(row["ngram"]) if row is not None else None
+    except Exception:
+        stored = None  # pre-meta index layout
+    if requested is None:
+        return 1 if stored is None else stored
+    if stored is not None and stored != requested:
+        raise ValueError(
+            f"index at {path} was built with ngram={stored}; probing with "
+            f"ngram={requested} would band incompatible signatures"
+        )
+    return requested
+
+
 def build_neardup_index(
     docs: DataFrame, path: str, threshold: float = 0.95, ngram: int = 1
 ) -> None:
@@ -85,6 +115,7 @@ def build_neardup_index(
     """
     spark = docs.sparkSession
     p = _paths(path)
+    _write_meta(spark, path, ngram)
     reps, _members = collapse_exact(docs)
     reps.select(F.col("doc_id").alias("rep_id"), "text").write.mode(
         "overwrite"
@@ -126,13 +157,16 @@ def incremental_edges(
     new_reps: DataFrame,
     path: str,
     threshold: float = 0.95,
-    ngram: int = 1,
+    ngram: int | None = None,
 ) -> DataFrame:
     """(u, v) component edges for the delta's representatives:
     exact-hash shortcuts, verified delta->old collisions, verified
     delta<->delta pairs, plus the index's accumulated merge edges.
     The index side is scans + equi-joins only — the corpus is never
-    re-banded or re-tokenized beyond the colliding candidates' texts."""
+    re-banded or re-tokenized beyond the colliding candidates' texts.
+    ``ngram=None`` adopts the index's stored tokenizer setting; an
+    explicit mismatch raises."""
+    ngram = _index_ngram(spark, path, ngram)
     p = _paths(path)
     bands_idx = spark.read.parquet(p["bands"])
     groups = spark.read.parquet(p["groups"])
@@ -204,7 +238,7 @@ def incremental_resolve(
     new_docs: DataFrame,
     path: str,
     threshold: float = 0.95,
-    ngram: int = 1,
+    ngram: int | None = None,
 ) -> DataFrame:
     """-> (doc_id, cluster_id, keep_id, is_dup) for the DELTA docs,
     equal to batch ``neardup_resolve(corpus UNION delta)`` restricted to
@@ -585,7 +619,7 @@ def update_index(
     new_docs: DataFrame,
     path: str,
     threshold: float = 0.95,
-    ngram: int = 1,
+    ngram: int | None = None,
 ) -> DataFrame:
     """Fold a delta into the index (append-only) and return its verdicts.
 
@@ -596,6 +630,7 @@ def update_index(
     without rewriting stale ``groups`` labels. On Iceberg this whole
     function is one MERGE INTO + appends inside a single transaction.
     """
+    ngram = _index_ngram(spark, path, ngram)
     p = _paths(path)
     groups = spark.read.parquet(p["groups"])
 
