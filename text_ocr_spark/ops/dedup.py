@@ -274,12 +274,20 @@ def _expand_rep_pairs(
 _PROBE_MARGIN = 1.2
 
 
-#: relative standard deviation of the probe's rep-count HLL: 0.005
-#: makes the 0.02 dup-rate gate a 4-sigma decision (see _gate_collapse).
-#: The sketch is ~2^15 registers, merged once per PARTITION of the
-#: un-exploded (or pos==0-filtered) doc rows — nothing like the
-#: rejected 2^18-register-per-token-row vocab probe of r2.
-_REP_PROBE_RSD = 0.005
+#: relative standard deviation of the probe's rep-count HLL. Requested
+#: 0.01 rounds to HLL++ precision p=14 (2^14 registers, delivered rsd
+#: ~0.0086), making the 0.02 dup-rate gate a ~2.3-sigma decision (see
+#: COLLAPSE_MIN_DUP_RATE). Why not tighter: the aggregate's cost is
+#: ~register-count-proportional and ROW-COUNT-INDEPENDENT (measured at
+#: sf0.1: 0.26 s at the 0.05 default, 0.67 s at 0.01, 2.5 s at 0.005,
+#: identical on 5e3 and 1.2e5 input rows) — a fixed tax every probe
+#: pays, invisible at 100 TB but 1.5x the whole dedup query at bench
+#: scale. 2.3 sigma suffices because Spark's HLL++ is DETERMINISTIC for
+#: a given corpus (fixed hash, no rng): the gate never flips run-to-run;
+#: the sigma budget only bounds, across corpus draws, the chance of a
+#: suboptimal PLAN (output is identical on both paths by the collapse
+#: algebra).
+_REP_PROBE_RSD = 0.01
 
 
 def _probe_frame(
@@ -324,7 +332,7 @@ def _probe_corpus(
 
     Probe accounting (review finding r4 — the gate must out-resolve its
     own estimator noise): n_docs is EXACT (a count, not an HLL); n_reps
-    is a tight rsd=0.005 HLL taken over one row per doc (the pos==0
+    is a tight rsd~0.0086 HLL taken over one row per doc (the pos==0
     slice of the exploded frame, so tokenized and untokenized callers
     pay the same sketch), with null-toks docs added exactly (each is
     its own singleton rep by the sentinel key). With
@@ -648,11 +656,14 @@ def _dense_jaccard_pairs(
 #: cannot change the output, only the plan).
 #:
 #: Noise accounting (review finding r4): the estimate is
-#: 1 - n_reps/n_docs with n_docs EXACT and n_reps an rsd=0.005 HLL, so
-#: the 0.02 threshold is a 4-sigma decision — a dup-free corpus
-#: mis-engages the collapse with probability ~3e-5 (the safe direction:
-#: constant overhead, not a hazard), and any corpus at >= 4% true dup
-#: rate engages at >= 4 sigma.
+#: 1 - n_reps/n_docs with n_docs EXACT and n_reps an rsd~0.0086 HLL
+#: (p=14 — see _REP_PROBE_RSD for why tighter sketches are a bad trade),
+#: so the 0.02 threshold is a ~2.3-sigma decision: across corpus draws,
+#: a dup-free corpus mis-engages the collapse with probability ~1% (the
+#: safe direction: constant overhead, not a hazard) and any corpus at
+#: >= 4% true dup rate engages at >= 2.3 sigma; for a FIXED corpus the
+#: sketch is deterministic, so whichever plan the gate picks, it picks
+#: it every run.
 #:
 #: Residual (documented, structural): a RATE gate cannot see one giant
 #: exact-dup group inside an otherwise-distinct corpus (10^6 copies in
