@@ -217,7 +217,7 @@ def test_dense_tiles_multiblock_regression(spark, docs, emb):
 
     from text_ocr_spark.ops.dedup import tokens_col
 
-    vocab, _, n_docs = _probe_corpus(
+    vocab, _, n_docs, _f2 = _probe_corpus(
         docs.select(
             "doc_id", F.col("doc_id").alias("key"), tokens_col().alias("toks")
         ),
@@ -916,3 +916,81 @@ def test_collapse_gate_null_heavy_corpus(spark, caplog):
         pairs = minhash_dedup(docs, 0.95).collect()
         assert any("SKIPPED" in r.getMessage() for r in caplog.records)
     assert pairs == []  # nulls pair with nothing, texts are distinct
+
+
+def test_probe_f2_excess_estimates_hot_pair_mass(spark):
+    """The probe's AMS second-moment sketch estimates
+    sum_g c_g*(c_g-1) — the per-band quadratic candidate-pair mass of
+    exact-dup groups — on BOTH probe branches (forced and tokenized).
+    One 200-copy group among 4000 distinct docs: true excess 39,800,
+    AMS sigma ~0.25*F2 ~= 11k; deterministic per corpus, so the pinned
+    band is stable."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.dedup import _probe_corpus, _probe_frame
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(4200)),
+            "text": ["boilerplate terms of service apply here"] * 200
+            + [f"unique text {i} {i * 31} {i * 17} {i * 101}" for i in range(4000)],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    true_excess = 200 * 199
+    for limit in (0, 4096):  # forced branch, tokenized branch
+        _, n_reps, n_docs, f2x = _probe_corpus(_probe_frame(docs), limit)
+        assert n_docs == 4200
+        assert 0.3 * true_excess < f2x < 2.5 * true_excess, (limit, f2x)
+    # dup-free control: excess reads ~0 relative to its noise floor
+    singles = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(range(4000)),
+                "text": [f"only one copy {i} {i * 7}" for i in range(4000)],
+            }
+        )
+    )
+    _, _, n_docs, f2x = _probe_corpus(_probe_frame(singles), 0)
+    assert f2x < max(65536, n_docs)  # below the gate's hot floor
+
+
+def test_hot_group_engages_collapse_at_low_dup_rate(spark, caplog):
+    """The r3 rate-gate blind spot is closed: one 300-copy exact-dup
+    group hiding among 15,500 distinct docs (dup rate 1.9% — under the
+    2% rate gate) trips the hot-pair-mass statistic
+    (300*299 = 89,700 >= max(2^16, n_docs)), so the collapse ENGAGES
+    and the k^2 band bucket never forms; output is identical to the
+    forced-skip run (the collapse is a physical choice only)."""
+    import logging
+
+    import pandas as pd
+
+    from text_ocr_spark.ops.dedup import minhash_dedup
+
+    k, n = 300, 15_500
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(k + n)),
+            "text": ["boilerplate terms of service apply to every doc"] * k
+            + [f"unique text {i} {i * 31} {i * 17} {i * 101}" for i in range(n)],
+        }
+    )
+    docs = spark.createDataFrame(pdf)
+    with caplog.at_level(logging.INFO, logger="text_ocr_spark.ops.dedup"):
+        caplog.clear()
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in minhash_dedup(docs, 0.95).collect()
+        }
+        assert any(
+            "ENGAGED by hot-pair mass" in r.getMessage() for r in caplog.records
+        )
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_dedup(docs, 0.95, collapse=False).collect()
+    }
+    assert got == want
+    assert len(got) == k * (k - 1) // 2  # exactly the mega-group's pairs

@@ -289,6 +289,26 @@ _PROBE_MARGIN = 1.2
 #: algebra).
 _REP_PROBE_RSD = 0.01
 
+#: number of +-1 sign-sums in the probe's AMS second-moment sketch.
+#: Each is a single-long codegen SUM (nothing like the HLL's fixed
+#: register tax above); estimator rsd ~ sqrt(2/t) = 0.25 at t=32.
+_AMS_SKETCHES = 32
+
+
+def _ams_sign(j: int) -> F.Column:
+    """Deterministic +-1 sign hash for AMS sketch row ``j`` (seeded by
+    hashing the probe key together with the sketch index)."""
+    return F.xxhash64(F.col("key"), F.lit(j)).bitwiseAND(F.lit(1)) * 2 - 1
+
+
+def _f2_excess(row, n_in_sums: int) -> int:
+    """AMS estimate of sum_g c_g*(c_g-1) over exact-dup groups — the
+    per-band quadratic candidate-pair mass — from the probe row's t
+    sign-sums: E[z_j^2] = F2 = sum_g c_g^2, and singletons contribute
+    exactly their own count, so mean(z^2) - n is the excess."""
+    z2 = [int(row[f"z{j}"] or 0) ** 2 for j in range(_AMS_SKETCHES)]
+    return max(0, round(sum(z2) / len(z2)) - n_in_sums)
+
 
 def _probe_frame(
     docs: DataFrame, ngram: int = 1, key_col: F.Column | None = None
@@ -321,10 +341,11 @@ def _probe_frame(
 
 def _probe_corpus(
     probe_df: DataFrame, dense_vocab_limit: int
-) -> tuple[list[str] | None, int, int]:
+) -> tuple[list[str] | None, int, int, int]:
     """ONE aggregate pass probes the vocabulary size, the distinct-text
-    (representative) count, and the doc count over a ``_probe_frame``
-    projection. Returns (vocab, n_reps_est, n_docs_exact); vocab is the
+    (representative) count, the doc count, and the exact-dup hot-pair
+    mass over a ``_probe_frame`` projection. Returns
+    (vocab, n_reps_est, n_docs_exact, f2_excess_est); vocab is the
     sorted exact vocabulary when the dense strategy applies — small
     vocab AND margin-adjusted rep count within DENSE_MAX_DOCS (the tile
     kernel is quadratic in docs, so a big small-vocab corpus must NOT
@@ -335,16 +356,22 @@ def _probe_corpus(
     is a tight rsd~0.0086 HLL taken over one row per doc (the pos==0
     slice of the exploded frame, so tokenized and untokenized callers
     pay the same sketch), with null-toks docs added exactly (each is
-    its own singleton rep by the sentinel key). With
+    its own singleton rep by the sentinel key); f2_excess is the AMS
+    second-moment estimate of sum_g c_g*(c_g-1) over exact-dup groups
+    (singletons — including every null-text doc, whose sentinel key is
+    unique — contribute exactly 0, so excluding the null rows from the
+    sign-sums is exact, not an approximation). With
     ``dense_vocab_limit <= 0`` (forced-route callers) the pass skips
-    tokenization entirely: count + key-HLL over the un-exploded frame
-    (Catalyst prunes the unused toks column)."""
+    tokenization entirely: count + key-HLL + sign-sums over the
+    un-exploded frame (Catalyst prunes the unused toks column)."""
     if dense_vocab_limit <= 0:
         row = probe_df.agg(
             F.count("*").alias("n_docs"),
             F.approx_count_distinct("key", _REP_PROBE_RSD).alias("n_reps"),
+            *[F.sum(_ams_sign(j)).alias(f"z{j}") for j in range(_AMS_SKETCHES)],
         ).first()
-        return None, int(row["n_reps"]), int(row["n_docs"])
+        n_docs = int(row["n_docs"])
+        return None, int(row["n_reps"]), n_docs, _f2_excess(row, n_docs)
     tok = probe_df.select(
         "doc_id", "key", F.posexplode_outer("toks").alias("pos", "w")
     )
@@ -356,15 +383,21 @@ def _probe_corpus(
         ).alias("n_reps"),
         F.sum(first.cast("long")).alias("n_docs"),
         F.sum(F.col("pos").isNull().cast("long")).alias("n_null"),
+        *[
+            F.sum(F.when(first, _ams_sign(j))).alias(f"z{j}")
+            for j in range(_AMS_SKETCHES)
+        ],
     ).first()
     n_null = int(probe["n_null"] or 0)
     n_reps = int(probe["n_reps"]) + n_null
-    n_docs = int(probe["n_docs"] or 0) + n_null
+    n_nonnull = int(probe["n_docs"] or 0)
+    n_docs = n_nonnull + n_null
+    f2x = _f2_excess(probe, n_nonnull)
     if (
         probe["n_vocab"] > dense_vocab_limit
         or n_reps * _PROBE_MARGIN > DENSE_MAX_DOCS
     ):
-        return None, n_reps, n_docs
+        return None, n_reps, n_docs, f2x
     # limit bounds driver memory even if the probe underestimated
     rows = (
         tok.select("w")
@@ -374,8 +407,8 @@ def _probe_corpus(
         .collect()
     )
     if len(rows) > dense_vocab_limit:
-        return None, n_reps, n_docs
-    return sorted(r.w for r in rows), n_reps, n_docs
+        return None, n_reps, n_docs, f2x
+    return sorted(r.w for r in rows), n_reps, n_docs, f2x
 
 
 def jaccard_pairs(
@@ -396,7 +429,7 @@ def jaccard_pairs(
     """
     toks_df = _toks_of(docs, ngram)
     if dense_vocab_limit > 0:  # no dup gate here — skip the probe when forced
-        vocab, _, n_docs = _probe_corpus(
+        vocab, _, n_docs, _f2 = _probe_corpus(
             _probe_frame(docs, ngram, key_col=F.col("doc_id")),
             dense_vocab_limit,
         )
@@ -665,36 +698,69 @@ def _dense_jaccard_pairs(
 #: sketch is deterministic, so whichever plan the gate picks, it picks
 #: it every run.
 #:
-#: Residual (documented, structural): a RATE gate cannot see one giant
-#: exact-dup group inside an otherwise-distinct corpus (10^6 copies in
-#: 10^10 docs is rate 0.01%); if such a corpus skips, that group's band
-#: bucket is O(k^2) again. The failure-cost asymmetry is why the
-#: threshold is low (skip only on strong evidence of ~no dups), and
-#: pipelines that KNOW they carry mega-boilerplate at sub-2% rates
-#: should pass collapse=True explicitly — web-scale corpora with
-#: million-copy boilerplate in practice sit far above 2% overall.
+#: Mega-group blind spot — CLOSED by the second gate statistic: a RATE
+#: gate alone cannot see one giant exact-dup group inside an
+#: otherwise-distinct corpus (10^6 copies in 10^10 docs is rate 0.01%,
+#: yet its band bucket is O(k^2) = 10^12 candidate pairs in ONE task).
+#: The probe therefore also carries an AMS second-moment sketch whose
+#: estimate f2_excess ~= sum_g c_g*(c_g-1) IS the per-band quadratic
+#: candidate-pair mass the collapse eliminates; the gate engages when
+#: it clears max(COLLAPSE_HOT_PAIR_MASS, n_docs). The n_docs term is
+#: noise calibration (AMS rsd ~ sqrt(2/32) = 0.25, so a dup-free corpus
+#: reads excess ~ +-0.25*n — the threshold sits 4 sigma above it), and
+#: it is also the right physical floor: it fires exactly for groups
+#: k >~ sqrt(n), whose single bucket rivals the entire rest of the
+#: shuffle. Calibrated residual: groups between ~sqrt(hazard-floor) and
+#: ~sqrt(n) are undetectable by ANY bounded-memory one-pass rate/moment
+#: probe at this cost, but their buckets are bounded by ~n candidate
+#: rows (corpus-order work, not unbounded k^2) and AQE skew-split
+#: absorbs them; pipelines that KNOW their skew can still force
+#: collapse=True.
 COLLAPSE_MIN_DUP_RATE = 0.02
 
+#: absolute floor of the hot-pair-mass gate: ~2^16 candidate pairs per
+#: band bucket (group size ~256) is the point where the collapse's
+#: linear overhead is clearly repaid even on small corpora.
+COLLAPSE_HOT_PAIR_MASS = 1 << 16
 
-def _gate_collapse(n_reps: int, n_docs: int, op: str) -> bool:
-    """Dup-rate gate shared by minhash/simhash/resolve: collapse iff the
-    estimated exact-dup rate clears COLLAPSE_MIN_DUP_RATE. Logged either
-    way a skip happens (no silent strategy change)."""
+
+def _gate_collapse(n_reps: int, n_docs: int, f2_excess: int, op: str) -> bool:
+    """Two-statistic collapse gate shared by minhash/simhash/resolve:
+    collapse iff the estimated exact-dup RATE clears
+    COLLAPSE_MIN_DUP_RATE, OR the estimated hot-pair MASS (AMS f2
+    excess — catches a single mega-group hiding at a tiny rate) clears
+    max(COLLAPSE_HOT_PAIR_MASS, n_docs). Logged either way a skip or a
+    mass-triggered engage happens (no silent strategy change)."""
+    import logging
+
     dup_rate = 1.0 - n_reps / n_docs if n_docs else 0.0
-    if dup_rate < COLLAPSE_MIN_DUP_RATE:
-        import logging
-
+    hot_floor = max(COLLAPSE_HOT_PAIR_MASS, n_docs)
+    if dup_rate >= COLLAPSE_MIN_DUP_RATE:
+        return True
+    if f2_excess >= hot_floor:
         logging.getLogger(__name__).info(
-            "%s: exact-dup collapse SKIPPED (estimated dup rate %.4f < %s; "
-            "%d reps / %d docs) — banding the raw corpus, output identical",
+            "%s: exact-dup collapse ENGAGED by hot-pair mass (estimated "
+            "excess %d >= %d) despite low dup rate %.4f — a mega-group "
+            "band bucket would be quadratic",
             op,
+            f2_excess,
+            hot_floor,
             dup_rate,
-            COLLAPSE_MIN_DUP_RATE,
-            n_reps,
-            n_docs,
         )
-        return False
-    return True
+        return True
+    logging.getLogger(__name__).info(
+        "%s: exact-dup collapse SKIPPED (estimated dup rate %.4f < %s, "
+        "hot-pair mass %d < %d; %d reps / %d docs) — banding the raw "
+        "corpus, output identical",
+        op,
+        dup_rate,
+        COLLAPSE_MIN_DUP_RATE,
+        f2_excess,
+        hot_floor,
+        n_reps,
+        n_docs,
+    )
+    return False
 
 
 def _rep_neardup_pairs(
@@ -722,7 +788,7 @@ def _rep_neardup_pairs(
     """
     toks_df = _toks_of(base, ngram)
     if strategy is None:
-        vocab, n_reps, _ = _probe_corpus(
+        vocab, n_reps, _, _f2 = _probe_corpus(
             _probe_frame(base, ngram, key_col=F.col("doc_id")),
             dense_vocab_limit,
         )
@@ -753,13 +819,13 @@ def _gated_neardup_pairs(
     collapse was skipped (pairs are then already doc-level)."""
     if collapse is not None and dense_vocab_limit <= 0:
         # both decisions forced: no auxiliary action at all
-        vocab, n_reps, n_docs = None, 0, 0
+        vocab, n_reps, n_docs, f2_excess = None, 0, 0, 0
     else:
-        vocab, n_reps, n_docs = _probe_corpus(
+        vocab, n_reps, n_docs, f2_excess = _probe_corpus(
             _probe_frame(docs, ngram), dense_vocab_limit
         )
     if collapse is None:
-        collapse = _gate_collapse(n_reps, n_docs, op)
+        collapse = _gate_collapse(n_reps, n_docs, f2_excess, op)
     if collapse:
         reps, members = collapse_exact(docs)
         pairs = _rep_neardup_pairs(
@@ -1155,8 +1221,8 @@ def simhash_pairs(
     corpora (its probe here is a plain count + key-HLL — no
     tokenization; simhash has no dense route to pick)."""
     if collapse is None:
-        _, n_reps, n_docs = _probe_corpus(_probe_frame(docs), 0)
-        collapse = _gate_collapse(n_reps, n_docs, "simhash_pairs")
+        _, n_reps, n_docs, f2_excess = _probe_corpus(_probe_frame(docs), 0)
+        collapse = _gate_collapse(n_reps, n_docs, f2_excess, "simhash_pairs")
     if not collapse:
         return _simhash_rep_pairs(docs, radius)
     reps, members = collapse_exact(docs)
