@@ -11,6 +11,9 @@ Queries timed (post-warmup of the Spark session):
                 collapse-skip path — the r3 regression clawed back)
 - dedup_minhash_dupheavy: the same op over a materialized every-text-
                 twice twin corpus — the collapse-ENGAGED regime
+- decontaminate: cross-corpus train/test overlap removal (exact md5 arm
+                + inverted-index near arm) against the doc_id%13 eval
+                slice
 - knn_topk:     brute-force cosine top-k over embeddings
 - q1:           TPC-H Q1 shape over lineitem
 - token_stats:  JVM-only text analysis sweep
@@ -41,6 +44,7 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from text_ocr_spark.ops.curate import curate_corpus
+    from text_ocr_spark.ops.decontam import decontaminate
     from text_ocr_spark.ops.dedup import minhash_dedup
     from text_ocr_spark.ops.relational import q1_pricing_summary
     from text_ocr_spark.ops.similarity import brute_topk
@@ -133,6 +137,13 @@ def main() -> int:
         timed("extract", run_extract)
         timed("dedup_minhash", lambda: minhash_dedup(docs).count())
         timed("dedup_minhash_dupheavy", lambda: minhash_dedup(docs_dup).count())
+        test_slice = docs.where(F.col("doc_id") % 13 == 0).select(
+            "doc_id", "text"
+        )
+        timed(
+            "decontaminate",
+            lambda: decontaminate(docs, test_slice, threshold=0.8).count(),
+        )
         timed("knn_topk", lambda: brute_topk(emb).count())
         timed("q1", lambda: q1_pricing_summary(spark, sf_dir).count())
         timed("token_stats", lambda: token_stats(docs).count())

@@ -49,8 +49,18 @@ def _embed_incremental_edges_df(spark, emb):
     return embed_incremental_edges(spark, delta, tmp)
 
 
+def _decontaminate_df(spark, docs):
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.decontam import decontaminate
+
+    test = docs.where(F.col("doc_id") % 13 == 0).select("doc_id", "text")
+    return decontaminate(docs, test, threshold=0.8)
+
+
 def main() -> int:
     from text_ocr_spark.ops.dedup import embed_pairs, minhash_dedup
+    from text_ocr_spark.ops.text_stats import frequent_ngrams
     from text_ocr_spark.ops.joins import purchase_error_window, purchases_asof_view
     from text_ocr_spark.ops.relational import (
         q1_pricing_summary,
@@ -193,6 +203,31 @@ def main() -> int:
             "term lives only in this final membership equi-join, not in "
             "any band bucket).",
             minhash_dedup(docs, dense_vocab_limit=0, collapse=True),
+        ),
+        (
+            "decontaminate (cross-corpus train/test overlap)",
+            "Train >> test is the production regime and the plan matches: "
+            "the exact arm is a BroadcastHashJoin on md5(text) (the test "
+            "hash set broadcasts — the train corpus never shuffles for "
+            "it); the near arm broadcasts the exploded test token list "
+            "and pays one exchange for the candidate-pair aggregate, "
+            "whose size is true cross-candidate mass, never a train "
+            "self-join. The best-match row_number rides WindowGroupLimit "
+            "(per-partition top-1 BEFORE the shuffle), and the final "
+            "verdict attach scans train as doc_id-only (ReadSchema "
+            "pruned; AQE broadcasts the bounded match set at runtime). "
+            "No Python anywhere (pytest plan gate).",
+            _decontaminate_df(spark, docs),
+        ),
+        (
+            "frequent_ngrams (corpus boilerplate profile)",
+            "Per-doc DISTINCT 3-shingles (JVM sequence/transform/slice) "
+            "explode into one map-side-combined HashAggregate keyed on "
+            "the shingle; the top-k is TakeOrderedAndProject (streaming "
+            "heap per partition + k-row driver merge), never a global "
+            "sort of the shingle vocabulary — the property that keeps "
+            "the op viable when the vocabulary is billions of rows.",
+            frequent_ngrams(docs, n=3, k=20),
         ),
         (
             "incremental dedup delta probe (index side joins only)",

@@ -1,0 +1,174 @@
+"""Cross-corpus decontamination (ops/decontam.py) and corpus n-gram
+profiling (text_stats.frequent_ngrams): semantics pinned on hand-built
+corpora where every jaccard is computable by eye, plus plan gates
+(both ops are pure-JVM — no Python anywhere in the plan)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_ocr_spark.ops.decontam import decontaminate
+from text_ocr_spark.ops.text_stats import frequent_ngrams
+
+
+def _tr(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def verdicts(spark):
+    """One corpus exercising every arm at once: exact leak, near leak,
+    clean doc, null-text doc, exact-beats-near, and a jaccard tie
+    broken by min test_id."""
+    train = _tr(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),          # exact copy of test 101
+            (2, "alpha beta gamma delta epsilon"),  # j=4/5=0.8 vs test 101
+            (3, "zeta eta theta iota"),             # clean (j=0 vs all)
+            (4, None),                              # null: never contaminated
+            (5, "one two three four"),              # j=0.6 vs 102: below 0.8
+            # ties vs 103 and 104 (both j=1.0 exact): min test_id wins
+            (6, "tie tie2 tie3"),
+        ],
+    )
+    test = _tr(
+        spark,
+        [
+            (101, "alpha beta gamma delta"),
+            (102, "one two three five"),  # inter=3, union=5 -> 0.6 vs doc 5
+            (103, "tie tie2 tie3"),
+            (104, "tie tie2 tie3"),
+            (105, None),  # null test text must match nothing
+        ],
+    )
+    out = decontaminate(train, test, threshold=0.8).orderBy("doc_id")
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_exact_arm(verdicts):
+    v = verdicts[1]
+    assert v["contaminated"] == 1
+    assert v["match_kind"] == "exact"
+    assert v["best_test_id"] == 101
+    assert v["best_jaccard"] == 1.0
+
+
+def test_near_arm_at_threshold(verdicts):
+    # 4 shared tokens, union 5 -> exactly 0.8: >= is inclusive
+    v = verdicts[2]
+    assert v["contaminated"] == 1
+    assert v["match_kind"] == "near"
+    assert v["best_test_id"] == 101
+    assert v["best_jaccard"] == pytest.approx(0.8)
+
+
+def test_clean_doc_sentinels(verdicts):
+    v = verdicts[3]
+    assert v == {
+        "doc_id": 3,
+        "contaminated": 0,
+        "match_kind": "none",
+        "best_test_id": -1,
+        "best_jaccard": 0.0,
+    }
+
+
+def test_null_text_never_contaminated(verdicts):
+    # null train text matches nothing — including the null TEST text
+    # (doc 105): null is not a text, same discipline as tokens_col
+    assert verdicts[4]["contaminated"] == 0
+    assert verdicts[4]["match_kind"] == "none"
+
+
+def test_below_threshold_is_clean(verdicts):
+    assert verdicts[5]["contaminated"] == 0
+
+
+def test_exact_beats_near_and_min_test_id_tiebreak(verdicts):
+    # doc 6 exact-matches BOTH 103 and 104 (and near-matches them at
+    # 1.0); the verdict must be exact with the smaller test_id
+    v = verdicts[6]
+    assert v["match_kind"] == "exact"
+    assert v["best_test_id"] == 103
+
+
+def test_one_row_per_train_doc(spark):
+    train = _tr(spark, [(i, f"tok{i} common") for i in range(20)])
+    test = _tr(spark, [(900, "common tokX")])
+    out = decontaminate(train, test, threshold=0.1)
+    assert out.count() == 20
+    assert out.select("doc_id").distinct().count() == 20
+
+
+def test_shingle_mode_sees_word_order(spark):
+    """Reordered text has token-set jaccard 1.0 (near-contaminated
+    under ngram=1) but few shared 3-shingles (clean under ngram=3) —
+    the order-sensitivity production decontamination relies on."""
+    train = _tr(spark, [(1, "a b c d e f g h")])
+    test = _tr(spark, [(200, "h g f e d c b a")])
+    uni = decontaminate(train, test, threshold=0.8, ngram=1).first()
+    tri = decontaminate(train, test, threshold=0.8, ngram=3).first()
+    assert uni["contaminated"] == 1 and uni["best_jaccard"] == 1.0
+    assert tri["contaminated"] == 0
+
+
+def test_decontaminate_plan_is_pure_jvm(spark):
+    train = _tr(spark, [(1, "a b"), (2, "c d")])
+    test = _tr(spark, [(9, "a b")])
+    p = decontaminate(train, test)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+
+
+# ---------------------------------------------------------------------------
+# frequent_ngrams
+# ---------------------------------------------------------------------------
+
+
+def test_frequent_ngrams_doc_frequency_not_term_frequency(spark):
+    """A document repeating one shingle many times counts ONCE — the
+    corpus profile cannot be hijacked by a single pathological doc."""
+    docs = _tr(
+        spark,
+        [
+            (1, "x y z " * 50),        # 'x y z' repeated: one vote
+            (2, "x y z tail"),         # second vote for 'x y z'
+            (3, "x y z other stuff"),  # third vote
+            (4, "unrelated words entirely here"),
+            (5, None),                 # null text contributes nothing
+        ],
+    )
+    top = frequent_ngrams(docs, n=3, k=3).orderBy("rank").collect()
+    assert top[0]["ngram"] == "x y z"
+    assert top[0]["doc_freq"] == 3
+    assert top[0]["rank"] == 1
+
+
+def test_frequent_ngrams_deterministic_tiebreak(spark):
+    # all shingles have doc_freq 1 -> rank order is pure lexicographic
+    docs = _tr(spark, [(1, "b b b"), (2, "a a a"), (3, "c c c")])
+    top = frequent_ngrams(docs, n=3, k=2).orderBy("rank").collect()
+    assert [r["ngram"] for r in top] == ["a a a", "b b b"]
+    assert [r["rank"] for r in top] == [1, 2]
+
+
+def test_frequent_ngrams_short_doc_whole_shingle(spark):
+    # sub-n docs contribute their whole text as ONE shingle (slice
+    # clamps), matching tokens_col's grammar
+    docs = _tr(spark, [(1, "solo"), (2, "solo")])
+    top = frequent_ngrams(docs, n=3, k=1).collect()
+    assert top[0]["ngram"] == "solo" and top[0]["doc_freq"] == 2
+
+
+def test_frequent_ngrams_plan_takeordered(spark):
+    """Top-k must be TakeOrderedAndProject (streaming heap per
+    partition + driver merge of k rows), never a global Sort of the
+    full n-gram table — the property that keeps the op viable when the
+    shingle vocabulary is billions of rows."""
+    docs = _tr(spark, [(1, "a b c d"), (2, "b c d e")])
+    p = frequent_ngrams(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in p
+    assert "MapInPandas" not in p and "BatchEvalPython" not in p

@@ -110,3 +110,31 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
         "doc_id",
         F.substring(F.md5(canon.cast("binary")), 1, 16).alias("fingerprint"),
     )
+
+
+def frequent_ngrams(docs: DataFrame, n: int = 3, k: int = 20) -> DataFrame:
+    """Top-k corpus-wide frequent word n-grams by DOCUMENT frequency —
+    the boilerplate-discovery primitive of a training-data pipeline
+    (shingles shared by many documents are headers, footers, license
+    blurbs, templates). -> (ngram, doc_freq, rank), rank dense 1..k with
+    a deterministic (doc_freq DESC, ngram ASC) tie-break.
+
+    Scale shape: the per-doc DISTINCT shingle set (``tokens_col(n)`` —
+    JVM sequence/transform/slice, no Python) explodes into one
+    map-side-combined HashAggregate keyed on the shingle, then top-k is
+    TakeOrderedAndProject (never a global sort of the n-gram table);
+    the rank window runs over the k collected rows only. Doc frequency,
+    not raw term frequency, so a single pathological document cannot
+    promote its own repetition into the corpus profile."""
+    from text_ocr_spark.ops.dedup import tokens_col
+    from pyspark.sql import Window
+
+    df = (
+        docs.select(F.explode(tokens_col("text", n)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "ngram")
+        .limit(k)
+    )
+    w = Window.orderBy(F.desc("doc_freq"), "ngram")
+    return df.withColumn("rank", F.row_number().over(w))
