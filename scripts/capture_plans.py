@@ -49,13 +49,13 @@ def _embed_incremental_edges_df(spark, emb):
     return embed_incremental_edges(spark, delta, tmp)
 
 
-def _decontaminate_df(spark, docs):
+def _decontaminate_df(spark, docs, dense=None):
     from pyspark.sql import functions as F
 
     from text_ocr_spark.ops.decontam import decontaminate
 
     test = docs.where(F.col("doc_id") % 13 == 0).select("doc_id", "text")
-    return decontaminate(docs, test, threshold=0.8)
+    return decontaminate(docs, test, threshold=0.8, dense=dense)
 
 
 def main() -> int:
@@ -205,19 +205,34 @@ def main() -> int:
             minhash_dedup(docs, dense_vocab_limit=0, collapse=True),
         ),
         (
-            "decontaminate (cross-corpus train/test overlap)",
+            "decontaminate (probe-routed dense arm — this corpus)",
             "Train >> test is the production regime and the plan matches: "
             "the exact arm is a BroadcastHashJoin on md5(text) (the test "
             "hash set broadcasts — the train corpus never shuffles for "
-            "it); the near arm broadcasts the exploded test token list "
-            "and pays one exchange for the candidate-pair aggregate, "
-            "whose size is true cross-candidate mass, never a train "
-            "self-join. The best-match row_number rides WindowGroupLimit "
-            "(per-partition top-1 BEFORE the shuffle), and the final "
-            "verdict attach scans train as doc_id-only (ReadSchema "
-            "pruned; AQE broadcasts the bounded match set at runtime). "
-            "No Python anywhere (pytest plan gate).",
+            "it). The probe (two bounded TEST-side driver actions; the "
+            "train side is never probed) routes this small-vocab corpus "
+            "to the dense near arm: ONE mapInPandas over the train "
+            "corpus scoring each Arrow batch against the broadcast test "
+            "masks as a single f32 GEMM — zero shuffles, no join (a "
+            "pair's intersection can only contain TEST-vocabulary "
+            "tokens, so masks are test-vocab-wide while true train "
+            "cardinalities ride alongside). The best-match row_number "
+            "rides WindowGroupLimit (per-partition top-1 BEFORE the "
+            "shuffle), and the final verdict attach scans train as "
+            "doc_id-only (ReadSchema pruned; AQE broadcasts the bounded "
+            "match set at runtime).",
             _decontaminate_df(spark, docs),
+        ),
+        (
+            "decontaminate (forced inverted-index arm)",
+            "The big-eval-suite route (test corpus over 4096 docs or "
+            "4096 distinct tokens): train tokens join exploded test "
+            "tokens on the token — pairs must share >= 1 token, the "
+            "train side never self-joins, the candidate aggregate is "
+            "map-side-combined (cardinalities ride as long min()s), and "
+            "the output is bounded by true cross-candidate mass. No "
+            "Python anywhere on this route (pytest plan gate).",
+            _decontaminate_df(spark, docs, dense=False),
         ),
         (
             "frequent_ngrams (corpus boilerplate profile)",

@@ -114,13 +114,74 @@ def test_shingle_mode_sees_word_order(spark):
     assert tri["contaminated"] == 0
 
 
-def test_decontaminate_plan_is_pure_jvm(spark):
+def test_inverted_route_plan_is_pure_jvm(spark):
     train = _tr(spark, [(1, "a b"), (2, "c d")])
     test = _tr(spark, [(9, "a b")])
-    p = decontaminate(train, test)._jdf.queryExecution().executedPlan().toString()
+    p = (
+        decontaminate(train, test, dense=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "MapInPandas" not in p
     assert "BatchEvalPython" not in p
     assert "ArrowEvalPython" not in p
+
+
+def test_dense_route_plan_one_arrow_stage_no_near_join(spark):
+    """The dense near arm is ONE mapInPandas over the train corpus with
+    the test masks broadcast — zero shuffles, no join: the route that
+    survives the degenerate common-token regime where an inverted index
+    materializes |train| x |test| candidate rows."""
+    import re
+
+    train = _tr(spark, [(i, f"tok{i} common words") for i in range(6)])
+    test = _tr(spark, [(900, "common words tokX")])
+    p = (
+        decontaminate(train, test, dense=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"MapInPandas", p)) == 1
+    assert "BatchEvalPython" not in p
+
+
+def test_routes_agree_on_randomized_corpus(spark):
+    """Both physical routes are the same exact operator: identical
+    verdicts, kinds, best ids, and bit-identical jaccard doubles on a
+    seeded random corpus with exact dups, near dups, nulls, and
+    threshold-boundary pairs."""
+    import random
+
+    rng = random.Random(41)
+    words = [f"w{i}" for i in range(40)]
+    train_rows = [
+        (i, " ".join(rng.choices(words, k=rng.randint(1, 25))))
+        for i in range(120)
+    ] + [(120, None)]
+    test_rows = [
+        (200 + i, " ".join(rng.choices(words, k=rng.randint(1, 25))))
+        for i in range(15)
+    ] + [(215, train_rows[3][1]), (216, None)]  # verbatim leak + null
+    train, test = _tr(spark, train_rows), _tr(spark, test_rows)
+    for thr in (0.5, 0.8):
+        a = decontaminate(train, test, threshold=thr, dense=True)
+        b = decontaminate(train, test, threshold=thr, dense=False)
+        ra = [tuple(r) for r in a.orderBy("doc_id").collect()]
+        rb = [tuple(r) for r in b.orderBy("doc_id").collect()]
+        assert ra == rb
+        assert any(r[2] == "exact" for r in ra)  # the leak was caught
+
+
+def test_dense_forced_but_caps_exceeded_raises(spark):
+    from text_ocr_spark.ops.decontam import DENSE_MAX_TEST_DOCS  # noqa: F401
+
+    train = _tr(spark, [(1, "a b")])
+    # vocab cap: > DENSE_VOCAB_LIMIT distinct tokens on the test side
+    big_vocab = _tr(spark, [(9, " ".join(f"t{i}" for i in range(4097)))])
+    with pytest.raises(ValueError, match="dense route forced"):
+        decontaminate(train, big_vocab, dense=True)
 
 
 # ---------------------------------------------------------------------------

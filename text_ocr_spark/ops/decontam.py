@@ -13,23 +13,180 @@ test_id.
 
 Scale shape (train >> test, the production regime): the exact arm is a
 join on md5(text) — Catalyst broadcasts the test hash set, so the train
-corpus never shuffles for it. The near arm is an exact inverted-index
-CROSS join (train tokens x test tokens on the token), the same exact
-machinery as jaccard_pairs but restricted to cross pairs — the train
-side never self-joins, so the output is bounded by true cross-candidate
-mass, and a small test side broadcasts its exploded token list (AQE
-picks this up from size estimates). Cardinalities ride the exploded
-rows as constants (min() in the group — a long aggregate, keeping the
-HashAggregate map-side-combined; a string aggregate would demote to
-SortAggregate). No Python anywhere.
+corpus never shuffles for it. The near arm is probe-routed between two
+EXACT physical strategies, the cross-corpus analog of jaccard_pairs'
+routing:
+
+- **dense broadcast GEMM** (small test corpus — the production shape):
+  a pair's intersection can only contain tokens from the TEST
+  vocabulary, so train masks only need |test-vocab| bits while the TRUE
+  train cardinality rides alongside; the test masks collect to the
+  driver (bounded by the route caps) and broadcast, and the whole near
+  arm becomes ONE mapInPandas over the train corpus — zero shuffles,
+  no join, each Arrow batch scoring against the test set as a single
+  f32 matmul (exact for counts <= 4096 bits). This is the route that
+  survives the degenerate common-token regime where every train doc
+  shares a token with every test doc and an inverted index materializes
+  |train| x |test| candidate rows.
+- **inverted-index cross join** (large test corpus or vocabulary):
+  train tokens x test tokens on the token — pairs must share >= 1
+  token, the train side never self-joins, and a small-ish test side's
+  exploded token list broadcasts (AQE). Cardinalities ride the exploded
+  rows as constants (min() in the group — a long aggregate, keeping the
+  HashAggregate map-side-combined; a string aggregate would demote to
+  SortAggregate).
+
+Both routes emit bit-identical jaccard doubles (int intersection /
+int union in IEEE double, the same math the DuckDB oracle runs) —
+pytest-pinned equal on randomized corpora.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from text_ocr_spark.ops.dedup import tokens_col
+from text_ocr_spark.ops.dedup import DENSE_VOCAB_LIMIT, tokens_col
+
+#: dense-route cap on TEST CORPUS SIZE: bounds the driver collect, the
+#: broadcast (<= 4096 masks x 512 B packed), and the per-batch GEMM
+#: width (4096 x 4096 f32 unpacked = 64 MB per worker). Bigger eval
+#: suites take the inverted-index route.
+DENSE_MAX_TEST_DOCS = 4096
+
+
+def _mask_rows(vid: dict, nbytes: int, id_name: str):
+    """mapInPandas kernel: (id, toks) -> (id, packed mask over the test
+    vocabulary, TRUE distinct cardinality). Tokens outside the test
+    vocab set no bits (they can never intersect) but still count toward
+    the cardinality — so jaccard denominators stay exact."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            masks: list[bytes] = []
+            cards: list[int] = []
+            for i, toks in zip(pdf[id_name], pdf["toks"]):
+                if toks is None:
+                    continue
+                bits = np.zeros(nbytes * 8, dtype=np.uint8)
+                for t in toks:
+                    j = vid.get(t)
+                    if j is not None:
+                        bits[j] = 1
+                ids.append(int(i))
+                masks.append(np.packbits(bits).tobytes())
+                cards.append(len(toks))
+            yield pd.DataFrame({id_name: ids, "mask": masks, "card": cards})
+
+    return fn
+
+
+def _near_dense_cross(
+    tr: DataFrame, te: DataFrame, threshold: float, ngram: int,
+    vocab: list[str],
+) -> DataFrame:
+    """Dense broadcast-GEMM near arm: -> (doc_id, test_id, jaccard),
+    all cross pairs sharing >= 1 token with jaccard >= threshold."""
+    spark = tr.sparkSession
+    vid = {w: i for i, w in enumerate(vocab)}
+    nbytes = ((len(vocab) + 63) // 64) * 8
+
+    te_rows = (
+        te.select("test_id", tokens_col("text", ngram).alias("toks"))
+        .mapInPandas(
+            _mask_rows(vid, nbytes, "test_id"),
+            schema="test_id long, mask binary, card int",
+        )
+        .collect()  # bounded: <= DENSE_MAX_TEST_DOCS rows (route gate)
+    )
+    if not te_rows:
+        return spark.createDataFrame(
+            [], "doc_id long, test_id long, jaccard double"
+        )
+    ids_s = np.array([r["test_id"] for r in te_rows], dtype=np.int64)
+    card_s = np.array([r["card"] for r in te_rows], dtype=np.int64)
+    raw = np.frombuffer(
+        b"".join(bytes(r["mask"]) for r in te_rows), dtype=np.uint8
+    ).reshape(len(te_rows), nbytes)
+    # broadcast PACKED masks (<= 4096 x 512 B = 2 MB, 32x smaller than
+    # the f32 matrix); each Python worker unpacks once on first use
+    bc = spark.sparkContext.broadcast((ids_s, card_s, raw))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t_ids, t_cards, t_raw = bc.value
+        # called once per partition: one unpack amortizes over batches
+        t_bits = np.unpackbits(t_raw, axis=1).astype(np.float32)
+        for pdf in _mask_rows(vid, nbytes, "doc_id")(batches):
+            if not len(pdf):
+                continue
+            ids_a = pdf["doc_id"].to_numpy(dtype=np.int64)
+            card_a = pdf["card"].to_numpy(dtype=np.int64)
+            rawa = np.frombuffer(
+                b"".join(pdf["mask"]), dtype=np.uint8
+            ).reshape(len(pdf), nbytes)
+            bits_a = np.unpackbits(rawa, axis=1).astype(np.float32)
+            # f32 GEMM exact for counts <= 4096 (same argument as the
+            # dedup tile kernel); jaccard math identical to the oracle:
+            # CAST(n_inter AS DOUBLE) / (card_t + card_s - n_inter)
+            inter = (bits_a @ t_bits.T).astype(np.int64)
+            union = card_a[:, None] + card_s[None, :] - inter
+            jac = inter.astype(np.float64) / union
+            # inter > 0 mirrors the inverted-index route: pairs must
+            # share at least one token (matters at threshold 0.0)
+            keep = (jac >= threshold) & (inter > 0)
+            ai, si = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids_a[ai],
+                    "test_id": t_ids[si],
+                    "jaccard": jac[ai, si],
+                }
+            )
+
+    return tr.select(
+        "doc_id", tokens_col("text", ngram).alias("toks")
+    ).mapInPandas(score, schema="doc_id long, test_id long, jaccard double")
+
+
+def _near_inverted(
+    tr: DataFrame, te: DataFrame, threshold: float, ngram: int
+) -> DataFrame:
+    """Inverted-index near arm: -> (doc_id, test_id, jaccard)."""
+    tok_t = tr.select(
+        "doc_id", tokens_col("text", ngram).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("card_t"),
+        F.explode("toks").alias("w"),
+    )
+    tok_s = te.select(
+        "test_id", tokens_col("text", ngram).alias("toks")
+    ).select(
+        "test_id",
+        F.size("toks").alias("card_s"),
+        F.explode("toks").alias("w"),
+    )
+    return (
+        tok_t.join(tok_s, "w")
+        .groupBy("doc_id", "test_id")
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.min("card_t").alias("card_t"),
+            F.min("card_s").alias("card_s"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("card_t") + F.col("card_s") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_id", "test_id", "jaccard")
+    )
 
 
 def decontaminate(
@@ -37,6 +194,7 @@ def decontaminate(
     test: DataFrame,
     threshold: float = 0.8,
     ngram: int = 1,
+    dense: bool | None = None,
 ) -> DataFrame:
     """-> (doc_id, contaminated, match_kind, best_test_id, best_jaccard)
     for EVERY train doc (a verdict table, like gopher_filter — consumers
@@ -46,7 +204,13 @@ def decontaminate(
     order-sensitive unit production decontamination uses, e.g. 13-gram
     collision in GPT-3's cleanup); NULL-text train docs are never
     contaminated (they match nothing, mirroring tokens_col's NULL
-    discipline)."""
+    discipline).
+
+    ``dense`` forces the near-arm route (None = probe: two bounded
+    driver actions over the TEST side only — a count and a
+    <= DENSE_VOCAB_LIMIT+1-row vocab collect, the same bounded-probe
+    idiom as dedup._probe_corpus; the 100 TB train side is never
+    touched by the probe)."""
     tr = train.select("doc_id", "text")
     te = test.select(F.col("doc_id").alias("test_id"), "text")
 
@@ -68,37 +232,30 @@ def decontaminate(
         )
     )
 
-    # near arm: exact inverted-index cross jaccard (cardinality rides
-    # the exploded rows; min() keeps the agg hash-based)
-    tok_t = tr.select(
-        "doc_id", tokens_col("text", ngram).alias("toks")
-    ).select(
-        "doc_id",
-        F.size("toks").alias("card_t"),
-        F.explode("toks").alias("w"),
-    )
-    tok_s = te.select(
-        "test_id", tokens_col("text", ngram).alias("toks")
-    ).select(
-        "test_id",
-        F.size("toks").alias("card_s"),
-        F.explode("toks").alias("w"),
-    )
-    near = (
-        tok_t.join(tok_s, "w")
-        .groupBy("doc_id", "test_id")
-        .agg(
-            F.count("*").alias("n_inter"),
-            F.min("card_t").alias("card_t"),
-            F.min("card_s").alias("card_s"),
+    vocab: list[str] | None = None
+    if dense is None or dense:
+        rows = (
+            te.select(F.explode(tokens_col("text", ngram)).alias("w"))
+            .distinct()
+            .limit(DENSE_VOCAB_LIMIT + 1)
+            .collect()
         )
-        .withColumn(
-            "jaccard",
-            F.col("n_inter")
-            / (F.col("card_t") + F.col("card_s") - F.col("n_inter")),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_id", "test_id", F.lit(1).alias("kind_rank"), "jaccard")
+        if len(rows) <= DENSE_VOCAB_LIMIT and (
+            te.count() <= DENSE_MAX_TEST_DOCS
+        ):
+            vocab = sorted(r.w for r in rows)
+        elif dense:
+            raise ValueError(
+                "dense route forced but the test corpus exceeds "
+                f"DENSE_VOCAB_LIMIT={DENSE_VOCAB_LIMIT} tokens or "
+                f"DENSE_MAX_TEST_DOCS={DENSE_MAX_TEST_DOCS} docs"
+            )
+    if vocab is not None:
+        near_pairs = _near_dense_cross(tr, te, threshold, ngram, vocab)
+    else:
+        near_pairs = _near_inverted(tr, te, threshold, ngram)
+    near = near_pairs.select(
+        "doc_id", "test_id", F.lit(1).alias("kind_rank"), "jaccard"
     )
 
     best = (
