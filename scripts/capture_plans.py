@@ -49,6 +49,26 @@ def _embed_incremental_edges_df(spark, emb):
     return embed_incremental_edges(spark, delta, tmp)
 
 
+def _dup_spans_df(docs):
+    from text_ocr_spark.ops.span_dedup import dup_spans
+
+    return dup_spans(docs)
+
+
+def _strip_dup_spans_df(docs):
+    from text_ocr_spark.ops.span_dedup import strip_dup_spans
+
+    return strip_dup_spans(docs)
+
+
+def _sample_stratified_df(docs):
+    from text_ocr_spark.ops.curate import sample_stratified
+
+    return sample_stratified(
+        docs, {"en": 0.25, "de": 1.0, "fr": 0.5, "es": 0.0}, "lang"
+    )
+
+
 def _decontaminate_df(spark, docs, dense=None):
     from pyspark.sql import functions as F
 
@@ -265,6 +285,38 @@ def main() -> int:
             "re-hashed; old endpoints contract to their stored cluster "
             "labels before resolution.",
             _embed_incremental_edges_df(spark, emb),
+        ),
+        (
+            "dup_spans (substring-span dedup)",
+            "The suffix-array pass of Lee et al. 2021 re-expressed "
+            "shuffle-native: windows hash to 8-byte xxhash64 keys "
+            "BEFORE the corpus-wide count shuffle (one map-side-combined "
+            "HashAggregate over longs — 13-gram strings never shuffle), "
+            "the duplicated-hash set comes back as a LEFT SEMI equi-join "
+            "(AQE broadcasts small boilerplate vocabularies), and the "
+            "interval merge is one (doc_id, pos) window over long pairs. "
+            "No Python anywhere (pytest plan gate).",
+            _dup_spans_df(docs),
+        ),
+        (
+            "strip_dup_spans (cut-text product)",
+            "The per-doc span list (bounded by text length, not corpus "
+            "size) folds back with ONE equi-join on doc_id; token "
+            "cutting is JVM higher-order functions (zip_with + filter + "
+            "exists) inside the project — reconstruction never leaves "
+            "the executor row, and the only addition over dup_spans is "
+            "the join exchange.",
+            _strip_dup_spans_df(docs),
+        ),
+        (
+            "sample_stratified (domain mixing)",
+            "Deterministic per-key Bernoulli sampling compiles to a "
+            "single pushed Filter over a 2-column pruned scan — ZERO "
+            "exchanges, zero Python: the md5 draw is a pure row "
+            "function, so membership is identical under any "
+            "partitioning and the sample composes with downstream ops "
+            "without a barrier.",
+            _sample_stratified_df(docs),
         ),
     ]
 

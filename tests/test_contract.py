@@ -119,6 +119,7 @@ def test_registry_head_covers_every_family():
         "multimodal_resize", "dedup_minhash_shingled", "ivf_train",
         "dedup_minhash", "dedup_resolve", "stream_dedup", "curate_corpus",
         "decontaminate", "frequent_ngrams",
+        "dup_spans", "strip_dup_spans", "sample_stratified",
     ):
         assert required in head, required
     assert set(tail) <= {
@@ -126,6 +127,11 @@ def test_registry_head_covers_every_family():
         "events_hourly_sql", "extract_spans_debug",
         # r4 demotions, each pinned by an in-window row + pytest:
         # ivf_assign is a subcomponent of knn_ivf and ivf_train;
-        # extract_kind_stats is a groupBy over extract_transcripts
-        "ivf_assign", "extract_kind_stats",
+        # extract_kind_stats is a groupBy over extract_transcripts;
+        # conversation_digest is a sibling per-conv aggregate of
+        # conversation_stats; q14 is the third TPC-H rep next to q1/q5;
+        # customer_order_ranks' row_number shape is in-window via
+        # events_sessionized and curate_corpus
+        "ivf_assign", "extract_kind_stats", "conversation_digest",
+        "q14_promo_revenue", "customer_order_ranks",
     }

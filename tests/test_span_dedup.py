@@ -1,0 +1,184 @@
+"""Substring-span dedup (ops/span_dedup.py) and stratified sampling
+(ops/curate.py::sample_stratified) unit coverage. The corpus-level
+oracle parity runs through the contract (scripts/check_contract.py);
+these tests pin the edge semantics the sf0.01 corpus cannot reach:
+within-doc repeats, interval merging, short/NULL/empty docs, full-cover
+cuts, and the sampling draw's exact hash arithmetic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from text_ocr_spark.ops.curate import sample_stratified
+from text_ocr_spark.ops.span_dedup import dup_spans, strip_dup_spans
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _words(*idx):
+    return " ".join(f"w{i}" for i in idx)
+
+
+def test_cross_doc_duplicate_window_found(spark):
+    """A 4-gram shared by two docs marks the covering span in both;
+    a doc with no duplicated window emits nothing."""
+    shared = _words(0, 1, 2, 3)
+    rows = [
+        (1, f"{shared} {_words(10, 11, 12)}"),
+        (2, f"{_words(20, 21)} {shared}"),
+        (3, _words(30, 31, 32, 33, 34)),
+    ]
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dup_spans(_docs(spark, rows), ngram=4).collect()
+    }
+    assert got == {(1, 0, 4), (2, 2, 6)}
+
+
+def test_within_doc_repeat_counts(spark):
+    """min_count counts TOTAL occurrences (paper semantics): a doc
+    repeating its own window twice is duplicated with no second doc."""
+    rep = _words(0, 1, 2, 3)
+    rows = [(1, f"{rep} {_words(9)} {rep}")]
+    got = [
+        (r.span_start, r.span_end)
+        for r in dup_spans(_docs(spark, rows), ngram=4)
+        .orderBy("span_start")
+        .collect()
+    ]
+    assert got == [(0, 4), (5, 9)]
+
+
+def test_overlapping_and_touching_intervals_merge(spark):
+    """Consecutive duplicated windows merge into one maximal interval:
+    a shared 5-token run under ngram=4 yields two overlapping hits
+    (pos 0 and 1) -> ONE [0, 5) span."""
+    run = _words(0, 1, 2, 3, 4)
+    rows = [(1, f"{run} {_words(10, 11)}"), (2, f"{_words(20)} {run}")]
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in dup_spans(_docs(spark, rows), ngram=4).collect()
+    }
+    assert got == {(1, 0, 5), (2, 1, 6)}
+
+
+def test_short_null_and_empty_docs_emit_nothing(spark):
+    rows = [(1, _words(0, 1)), (2, None), (3, ""), (4, "   ")]
+    assert dup_spans(_docs(spark, rows), ngram=4).count() == 0
+
+
+def test_strip_cuts_spans_and_counts(spark):
+    shared = _words(0, 1, 2, 3)
+    rows = [
+        (1, f"{shared} {_words(10, 11, 12)}"),
+        (2, f"{_words(20, 21)}  {shared}"),  # double space normalizes
+        (3, _words(30, 31)),
+        (4, None),
+        (5, shared),  # fully covered -> ''
+    ]
+    got = {
+        r.doc_id: (r.clean_text, r.n_cut)
+        for r in strip_dup_spans(_docs(spark, rows), ngram=4).collect()
+    }
+    assert got[1] == (_words(10, 11, 12), 4)
+    assert got[2] == (_words(20, 21), 4)
+    assert got[3] == (_words(30, 31), 0)  # pass-through, normalized
+    assert got[4] == (None, None)
+    assert got[5] == ("", 4)
+
+
+def test_strip_preserves_every_doc_row(spark):
+    rows = [(i, _words(i, i + 1, i + 2, i + 3)) for i in range(10)]
+    out = strip_dup_spans(_docs(spark, rows), ngram=4)
+    assert out.count() == 10
+
+
+def test_span_plans_are_pure_jvm(spark):
+    rows = [(1, _words(0, 1, 2, 3)), (2, _words(0, 1, 2, 3))]
+    for df in (
+        dup_spans(_docs(spark, rows), ngram=4),
+        strip_dup_spans(_docs(spark, rows), ngram=4),
+    ):
+        p = df._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in p
+
+
+# ---------------------------------------------------------------------------
+# sample_stratified
+# ---------------------------------------------------------------------------
+
+
+def _lang_docs(spark, n=200):
+    langs = ["en", "de", "fr", "zh"]
+    rows = [(i, f"text {i}", langs[i % 4]) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+
+
+def _expect_keep(doc_id: int, frac: float, seed: int = 42) -> bool:
+    draw = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:8]
+    if frac >= 1.0:
+        return True
+    return draw < format(int(frac * 2**32), "08x")
+
+
+def test_sample_matches_exact_hash_arithmetic(spark):
+    """Row membership equals the reference md5 computation exactly —
+    the draw is a pure row function, independent of partitioning."""
+    fr = {"en": 0.3, "de": 1.0, "fr": 0.0}
+    docs = _lang_docs(spark)
+    got = {r.doc_id for r in sample_stratified(docs, fr, "lang").collect()}
+    want = {
+        i
+        for i in range(200)
+        if ["en", "de", "fr", "zh"][i % 4] in fr
+        and _expect_keep(i, fr[["en", "de", "fr", "zh"][i % 4]])
+    }
+    assert got == want
+    # de keeps ALL (frac 1.0); fr and unlisted zh keep none
+    assert {i for i in range(200) if i % 4 == 1} <= got
+    assert not any(i % 4 in (2, 3) for i in got)
+
+
+def test_sample_is_deterministic_and_partition_independent(spark):
+    fr = {"en": 0.5, "de": 0.5}
+    docs = _lang_docs(spark)
+    a = sorted(r.doc_id for r in sample_stratified(docs, fr, "lang").collect())
+    b = sorted(
+        r.doc_id
+        for r in sample_stratified(docs.repartition(13), fr, "lang").collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_sample_seed_changes_membership(spark):
+    fr = {"en": 0.5}
+    docs = _lang_docs(spark)
+    a = {r.doc_id for r in sample_stratified(docs, fr, "lang", seed=1).collect()}
+    b = {r.doc_id for r in sample_stratified(docs, fr, "lang", seed=2).collect()}
+    assert a != b
+
+
+def test_sample_plan_is_single_pass_no_exchange(spark, tmp_path):
+    """The sample is a pushed filter over a pruned scan: zero exchanges,
+    zero Python — it composes with downstream ops without a barrier."""
+    p = str(tmp_path / "docs.parquet")
+    _lang_docs(spark).write.parquet(p)
+    plan = (
+        sample_stratified(spark.read.parquet(p), {"en": 0.5}, "lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan

@@ -63,3 +63,53 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrub_expr(F.col("extracted")).alias("clean_text"),
         "n_tokens",
     )
+
+
+def sample_stratified(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "lang",
+    seed: int = 42,
+) -> DataFrame:
+    """-> (doc_id, <key_col>, draw): deterministic per-key Bernoulli
+    sampling — the domain-mixing step of a training-data pipeline
+    (Pile/Dolma-style mixture weights: upweight by keeping 1.0, dilute
+    a dominant domain by keeping a fraction, drop a domain with 0.0).
+    Keys absent from ``fractions`` are dropped (explicit mixtures only).
+
+    The draw is the first 8 hex chars of md5(seed || ':' || doc_id) —
+    a pure function of the row key, so the SAME rows are kept on every
+    run, on any cluster size, under any partitioning, with no RNG state
+    to ship (contrast ``DataFrame.sampleBy``, whose per-partition RNG
+    makes row membership depend on the physical split). Selection
+    compares the hex draw LEXICOGRAPHICALLY against floor(frac * 2^32)
+    rendered as 8 lowercase hex chars — order-identical to the numeric
+    compare and expressible byte-for-byte in any engine (the DuckDB
+    oracle runs the same strings); frac >= 1.0 uses the sentinel 'g',
+    which every hex string sorts below. One scan, one JVM predicate,
+    no shuffle at all: the sample is a filter, so it composes with
+    downstream ops without breaking pushdown.
+    """
+    draw = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(str(seed)), F.col("doc_id").cast("string")
+            ).cast("binary")
+        ),
+        1,
+        8,
+    )
+
+    def thr(frac: float) -> str:
+        if frac >= 1.0:
+            return "g"  # sorts above every hex char
+        return format(max(int(frac * 2**32), 0), "08x")
+
+    keep = F.lit(False)
+    for key, frac in sorted(fractions.items()):
+        keep = F.when(
+            F.col(key_col) == key, draw < F.lit(thr(frac))
+        ).otherwise(keep)
+    return docs.where(keep).select(
+        "doc_id", key_col, draw.alias("draw")
+    )
