@@ -14,6 +14,8 @@ Queries timed (post-warmup of the Spark session):
 - decontaminate: cross-corpus train/test overlap removal (exact md5 arm
                 + inverted-index near arm) against the doc_id%13 eval
                 slice
+- dup_spans:    substring-span dedup (duplicated 13-gram windows ->
+                merged per-doc token intervals; the Lee et al. pass)
 - knn_topk:     brute-force cosine top-k over embeddings
 - q1:           TPC-H Q1 shape over lineitem
 - token_stats:  JVM-only text analysis sweep
@@ -48,6 +50,7 @@ def main() -> int:
     from text_ocr_spark.ops.dedup import minhash_dedup
     from text_ocr_spark.ops.relational import q1_pricing_summary
     from text_ocr_spark.ops.similarity import brute_topk
+    from text_ocr_spark.ops.span_dedup import dup_spans
     from text_ocr_spark.ops.text_stats import token_stats
     from text_ocr_spark.pipeline import extract_corpus, session_builder
 
@@ -144,6 +147,7 @@ def main() -> int:
             "decontaminate",
             lambda: decontaminate(docs, test_slice, threshold=0.8).count(),
         )
+        timed("dup_spans", lambda: dup_spans(docs).count())
         timed("knn_topk", lambda: brute_topk(emb).count())
         timed("q1", lambda: q1_pricing_summary(spark, sf_dir).count())
         timed("token_stats", lambda: token_stats(docs).count())

@@ -61,6 +61,12 @@ def _strip_dup_spans_df(docs):
     return strip_dup_spans(docs)
 
 
+def _pack_shards_df(docs):
+    from text_ocr_spark.ops.curate import pack_shards
+
+    return pack_shards(docs, max_tokens=2048, bucket_size=64)
+
+
 def _sample_stratified_df(docs):
     from text_ocr_spark.ops.curate import sample_stratified
 
@@ -307,6 +313,18 @@ def main() -> int:
             "the executor row, and the only addition over dup_spans is "
             "the join exchange.",
             _strip_dup_spans_df(docs),
+        ),
+        (
+            "pack_shards (token-budget sharding)",
+            "Two-level distributed prefix sum: the per-bucket token "
+            "sums aggregate map-side-combined, the ONLY non-partitioned "
+            "window runs over that small bucket frame (n/bucket_size "
+            "rows), offsets broadcast-join back, and the corpus-wide "
+            "cumsum windows BY bucket — parallel, each task bounded by "
+            "bucket_size. A naive global-order window would collapse "
+            "the corpus into one task; output is pytest-pinned "
+            "identical to that form.",
+            _pack_shards_df(docs),
         ),
         (
             "sample_stratified (domain mixing)",

@@ -119,7 +119,7 @@ def test_registry_head_covers_every_family():
         "multimodal_resize", "dedup_minhash_shingled", "ivf_train",
         "dedup_minhash", "dedup_resolve", "stream_dedup", "curate_corpus",
         "decontaminate", "frequent_ngrams",
-        "dup_spans", "strip_dup_spans", "sample_stratified",
+        "dup_spans", "strip_dup_spans", "sample_stratified", "pack_shards",
     ):
         assert required in head, required
     assert set(tail) <= {
@@ -132,6 +132,8 @@ def test_registry_head_covers_every_family():
         # conversation_stats; q14 is the third TPC-H rep next to q1/q5;
         # customer_order_ranks' row_number shape is in-window via
         # events_sessionized and curate_corpus
+        # pii_scrub's scrub_expr is single-sourced inside the in-window
+        # curate_corpus row
         "ivf_assign", "extract_kind_stats", "conversation_digest",
-        "q14_promo_revenue", "customer_order_ranks",
+        "q14_promo_revenue", "customer_order_ranks", "pii_scrub",
     }

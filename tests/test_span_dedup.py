@@ -182,3 +182,84 @@ def test_sample_plan_is_single_pass_no_exchange(spark, tmp_path):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
     assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan
+
+
+# ---------------------------------------------------------------------------
+# pack_shards
+# ---------------------------------------------------------------------------
+
+from text_ocr_spark.ops.curate import pack_shards  # noqa: E402
+
+
+def _tok_docs(spark, counts):
+    rows = [
+        (i, " ".join(f"t{i}_{j}" for j in range(c)) if c is not None else None)
+        for i, c in enumerate(counts)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_shards_exclusive_prefix_sum(spark):
+    """shard_id = floor(exclusive cumsum / budget): boundaries land
+    exactly where the running total crosses the budget, a doc may
+    overshoot its shard, and boundary docs start the NEXT shard."""
+    docs = _tok_docs(spark, [3, 3, 3, 3])  # budget 6: cum 0,3,6,9
+    got = {
+        r.doc_id: r.shard_id for r in pack_shards(docs, 6, 2).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1}
+
+
+def test_pack_shards_null_and_empty_ride_along(spark):
+    docs = _tok_docs(spark, [5, None, 5])
+    rows = {
+        r.doc_id: (r.n_tokens, r.shard_id)
+        for r in pack_shards(docs, 5, 2).collect()
+    }
+    # doc 1 (NULL) contributes 0 tokens; cum: 0, 5, 5
+    assert rows == {0: (5, 0), 1: (0, 1), 2: (5, 1)}
+    empty = _tok_docs(spark, [1])
+    e = pack_shards(
+        empty.withColumn("text", F.lit("   ")), 5, 2
+    ).collect()[0]
+    assert (e.n_tokens, e.shard_id) == (0, 0)
+
+
+def test_pack_shards_bucket_size_invariant(spark):
+    """The two-level distributed prefix sum is bit-identical to the
+    single-window form: bucket_size 1 (every doc its own bucket),
+    bucket_size 7 (uneven buckets), and bucket_size 10^9 (one bucket —
+    the plain global window) all agree."""
+    counts = [(i * 37) % 23 for i in range(101)]
+    counts[13] = 0
+    docs = _tok_docs(spark, counts)
+    outs = [
+        sorted(tuple(r) for r in pack_shards(docs, 50, b).collect())
+        for b in (1, 7, 10**9)
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    # shards are contiguous in doc_id order and all used
+    shard_of = {d: s for d, _, s in outs[0]}
+    seq = [shard_of[d] for d in sorted(shard_of)]
+    assert seq == sorted(seq)
+    assert set(seq) == set(range(max(seq) + 1))
+
+
+def test_pack_shards_plan_no_global_corpus_window(spark, tmp_path):
+    """Scale gate: the corpus-wide stages never sort globally — the
+    only non-partitioned window runs over the SMALL bucket frame. The
+    corpus side sees one bucket-hash exchange for the per-bucket window
+    plus the broadcast offset join; no Python anywhere."""
+    p = str(tmp_path / "docs.parquet")
+    _tok_docs(spark, [(i * 17) % 31 for i in range(300)]).write.parquet(p)
+    df = pack_shards(spark.read.parquet(p), 100, 16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "BroadcastExchange" in plan
+    # the window over the full corpus is partitioned by bucket; the
+    # single-partition window exists only below the bucket aggregate
+    import re
+
+    singles = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
+    assert any("bucket" in s for s in singles)

@@ -113,3 +113,71 @@ def sample_stratified(
     return docs.where(keep).select(
         "doc_id", key_col, draw.alias("draw")
     )
+
+
+def pack_shards(
+    docs: DataFrame, max_tokens: int, bucket_size: int = 4096
+) -> DataFrame:
+    """-> (doc_id, n_tokens, shard_id): token-budget shard assignment —
+    the corpus-to-training-shards step. Documents are laid out in
+    doc_id order and shard_id = floor(exclusive-prefix-sum(n_tokens) /
+    max_tokens): consecutive docs fill consecutive shards, document
+    boundaries are never split, and a shard overshoots max_tokens by at
+    most one document (the standard token-offset sharding contract).
+    NULL/whitespace-only docs count 0 tokens and ride along.
+
+    Scale shape — the textbook TWO-LEVEL DISTRIBUTED PREFIX SUM: a
+    naive ``Window.orderBy(doc_id)`` global cumsum collapses the whole
+    corpus into ONE task, so instead
+    (1) docs bucket by ``floor(doc_id / bucket_size)`` and per-bucket
+        token sums aggregate map-side-combined (n/bucket_size rows);
+    (2) bucket offsets are an exclusive cumsum over that SMALL frame —
+        the only single-task window, over n/bucket_size rows (pick
+        bucket_size so this fits: 1e12 docs / 1e6 = 1e6 rows in one
+        task is trivial);
+    (3) offsets broadcast-join back onto the corpus;
+    (4) the within-bucket exclusive cumsum windows BY bucket — parallel
+        across buckets, each task bounded by bucket_size rows.
+    Output is bit-identical to the single-window form (pytest
+    differential at bucket_size 1 / huge) and to the DuckDB oracle's
+    plain global cumsum.
+    """
+    from pyspark.sql import Window
+
+    n_tok = (
+        F.when(
+            F.length(F.trim(F.col("text"))) > 0,
+            F.size(F.split(F.trim(F.col("text")), WS_RE)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    base = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.floor(F.col("doc_id") / F.lit(bucket_size)).alias("bucket"),
+    )
+    bsum = base.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
+    wb = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = bsum.select(
+        "bucket", F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("boff")
+    )
+    wd = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        base.join(F.broadcast(offsets), "bucket")
+        .withColumn(
+            "cum",
+            F.col("boff") + F.coalesce(F.sum("n_tokens").over(wd), F.lit(0)),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("cum") / F.lit(max_tokens))
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )
