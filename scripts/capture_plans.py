@@ -61,6 +61,12 @@ def _strip_dup_spans_df(docs):
     return strip_dup_spans(docs)
 
 
+def _c4_line_filter_df(docs):
+    from text_ocr_spark.ops.cleaning import c4_line_filter
+
+    return c4_line_filter(docs)
+
+
 def _pack_shards_df(docs):
     from text_ocr_spark.ops.curate import pack_shards
 
@@ -313,6 +319,15 @@ def main() -> int:
             "the executor row, and the only addition over dup_spans is "
             "the join exchange.",
             _strip_dup_spans_df(docs),
+        ),
+        (
+            "c4_line_filter (C4 line-level cleaning)",
+            "Zero-exchange map-only plan: one split + higher-order "
+            "filter + array_join per row, substring/contains primitives "
+            "only (no regex alternation to diverge between engines) — "
+            "like sample_stratified it composes with downstream ops "
+            "without a barrier.",
+            _c4_line_filter_df(docs),
         ),
         (
             "pack_shards (token-budget sharding)",

@@ -189,3 +189,77 @@ def test_curate_corpus_composition(spark):
     n_distinct = base.select("extracted").distinct().count()
     assert n_distinct < n_base  # the corpus genuinely contains dup turns
     assert len(rows) == n_distinct
+
+
+# ---------------------------------------------------------------------------
+# c4_line_filter
+# ---------------------------------------------------------------------------
+
+
+def test_c4_line_rules(spark):
+    """Each line rule independently: terminal punct, >= 5 words,
+    no 'javascript' (case-insensitive)."""
+    from text_ocr_spark.ops.cleaning import c4_line_filter
+
+    good = "alpha beta gamma delta epsilon."
+    doc = "\n".join(
+        [
+            good,  # kept
+            "alpha beta gamma delta epsilon",  # no terminal punct
+            "alpha beta gamma.",  # < 5 words
+            "alpha beta gamma delta JavaScript here.",  # javascript
+            'quoted alpha beta gamma delta epsilon"',  # end quote kept
+            "ends bang alpha beta gamma delta!",  # bang kept
+        ]
+    )
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    r = c4_line_filter(df).collect()[0]
+    assert r.n_lines_total == 6
+    assert r.n_lines_kept == 3
+    assert r.keep_doc == 1
+    assert r.clean_text.split("\n") == [
+        good,
+        'quoted alpha beta gamma delta epsilon"',
+        "ends bang alpha beta gamma delta!",
+    ]
+
+
+def test_c4_doc_rules(spark):
+    """Doc gate: >= 3 kept lines, no 'lorem ipsum', no '{' — and the
+    brace/lorem checks run against the WHOLE doc, even dropped lines."""
+    from text_ocr_spark.ops.cleaning import c4_line_filter
+
+    l1 = "alpha beta gamma delta epsilon."
+    three = "\n".join([l1] * 3)
+    rows = [
+        (1, three),  # keep
+        (2, "\n".join([l1] * 2)),  # only 2 kept lines
+        (3, three + "\nLorem Ipsum dolor."),  # lorem ipsum anywhere
+        (4, three + "\nvar x = {"),  # brace in a dropped line
+        (5, None),  # NULL -> keep_doc 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.keep_doc for r in c4_line_filter(df).collect()}
+    assert got == {1: 1, 2: 0, 3: 0, 4: 0, 5: 0}
+    null_row = [
+        r for r in c4_line_filter(df).collect() if r.doc_id == 5
+    ][0]
+    assert (null_row.clean_text, null_row.n_lines_kept) == ("", 0)
+
+
+def test_c4_plan_is_zero_exchange_jvm(spark, tmp_path):
+    from text_ocr_spark.ops.cleaning import c4_line_filter
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon.")], "doc_id long, text string"
+    ).write.parquet(p)
+    plan = (
+        c4_line_filter(spark.read.parquet(p))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

@@ -120,6 +120,7 @@ def test_registry_head_covers_every_family():
         "dedup_minhash", "dedup_resolve", "stream_dedup", "curate_corpus",
         "decontaminate", "frequent_ngrams",
         "dup_spans", "strip_dup_spans", "sample_stratified", "pack_shards",
+        "c4_line_filter",
     ):
         assert required in head, required
     assert set(tail) <= {
@@ -134,6 +135,9 @@ def test_registry_head_covers_every_family():
         # events_sessionized and curate_corpus
         # pii_scrub's scrub_expr is single-sourced inside the in-window
         # curate_corpus row
+        # conversation_stats is a groupBy over the in-window
+        # transcript_index row
         "ivf_assign", "extract_kind_stats", "conversation_digest",
         "q14_promo_revenue", "customer_order_ranks", "pii_scrub",
+        "conversation_stats",
     }

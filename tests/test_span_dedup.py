@@ -263,3 +263,22 @@ def test_pack_shards_plan_no_global_corpus_window(spark, tmp_path):
 
     singles = re.findall(r"Window \[[^\]]*\], \[([^\]]*)\]", plan)
     assert any("bucket" in s for s in singles)
+
+
+def test_pack_shards_precomputed_token_column(spark):
+    """n_tokens_col feeds both prefix-sum passes from a precomputed
+    long (no re-tokenization); output identical to the text path."""
+    docs = _tok_docs(spark, [4, 9, 0, 7, 2])
+    pre = docs.withColumn(
+        "my_count",
+        F.when(
+            F.length(F.trim("text")) > 0,
+            F.size(F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+")),
+        ).otherwise(F.lit(0)),
+    )
+    a = sorted(tuple(r) for r in pack_shards(docs, 10, 2).collect())
+    b = sorted(
+        tuple(r)
+        for r in pack_shards(pre, 10, 2, n_tokens_col="my_count").collect()
+    )
+    assert a == b

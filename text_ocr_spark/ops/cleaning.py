@@ -226,3 +226,60 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         ndp.alias("n_distinct_paras"),
         fp.alias("dup_para_frac"),
     )
+
+
+#: C4 line-keep thresholds (Raffel et al. 2020 §2.2, the public recipe)
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+#: terminal punctuation closing a kept line (period, exclamation,
+#: question mark, end quotation mark)
+C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_line_filter(docs: DataFrame) -> DataFrame:
+    """-> (doc_id, clean_text, n_lines_kept, n_lines_total, keep_doc):
+    the C4 line-level cleaning pass (Raffel et al. 2020), the third
+    public cleaning recipe next to CCNet (paragraph_dedup) and Gopher
+    (gopher_filter):
+
+    line rules (a line survives iff ALL hold):
+      1. its trimmed text ends in terminal punctuation (. ! ? ");
+      2. it has >= C4_MIN_LINE_WORDS whitespace words;
+      3. it does not contain the word "javascript" (case-insensitive).
+    doc rules (keep_doc = 1 iff ALL hold):
+      4. >= C4_MIN_KEPT_LINES lines survive (the paper's "fewer than 3
+         sentences" gate, applied to kept lines);
+      5. the doc contains neither "lorem ipsum" (lowercased) nor "{".
+
+    clean_text = surviving lines re-joined with newlines (all docs get
+    one, so quarantined docs stay inspectable); NULL text -> empty doc
+    with keep_doc = 0, mirroring gopher_filter's NULL contract. Pure
+    JVM: one split + higher-order filter + array_join per row, no
+    shuffle at all — like sample_stratified this is a zero-exchange
+    map-only plan that composes with downstream ops. Terminal-punct and
+    containment checks use substring/locate primitives, NOT regex, so
+    Spark and the DuckDB oracle cannot diverge on alternation
+    semantics.
+    """
+    text = F.coalesce(F.col("text"), F.lit(""))
+    lines = F.split(text, r"\n")
+    t = lambda ln: F.trim(ln)  # noqa: E731
+    keep_line = lambda ln: (  # noqa: E731
+        F.substring(t(ln), -1, 1).isin(*C4_TERMINALS)
+        & (F.size(F.split(t(ln), WS_RE)) >= C4_MIN_LINE_WORDS)
+        & ~F.lower(ln).contains("javascript")
+    )
+    kept = F.filter(lines, keep_line)
+    n_kept = F.size(kept)
+    bad_doc = F.lower(text).contains("lorem ipsum") | text.contains("{")
+    return docs.select(
+        "doc_id",
+        F.array_join(kept, "\n").alias("clean_text"),
+        n_kept.alias("n_lines_kept"),
+        F.size(lines).alias("n_lines_total"),
+        F.when(
+            (n_kept >= C4_MIN_KEPT_LINES) & ~bad_doc, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("keep_doc"),
+    )

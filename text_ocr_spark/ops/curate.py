@@ -116,7 +116,10 @@ def sample_stratified(
 
 
 def pack_shards(
-    docs: DataFrame, max_tokens: int, bucket_size: int = 4096
+    docs: DataFrame,
+    max_tokens: int,
+    bucket_size: int = 4096,
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """-> (doc_id, n_tokens, shard_id): token-budget shard assignment —
     the corpus-to-training-shards step. Documents are laid out in
@@ -141,17 +144,27 @@ def pack_shards(
     Output is bit-identical to the single-window form (pytest
     differential at bucket_size 1 / huge) and to the DuckDB oracle's
     plain global cumsum.
+
+    The corpus is scanned twice (bucket sums, then the join side); pass
+    ``n_tokens_col`` naming a precomputed count column (e.g. from
+    token_stats) so both passes read a long instead of re-tokenizing
+    the text column.
     """
     from pyspark.sql import Window
 
-    n_tok = (
-        F.when(
-            F.length(F.trim(F.col("text"))) > 0,
-            F.size(F.split(F.trim(F.col("text")), WS_RE)),
+    if n_tokens_col is not None:
+        n_tok = F.coalesce(
+            F.col(n_tokens_col).cast("long"), F.lit(0)
         )
-        .otherwise(F.lit(0))
-        .cast("long")
-    )
+    else:
+        n_tok = (
+            F.when(
+                F.length(F.trim(F.col("text"))) > 0,
+                F.size(F.split(F.trim(F.col("text")), WS_RE)),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
     base = docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
