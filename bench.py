@@ -11,9 +11,13 @@ Queries timed (post-warmup of the Spark session):
                 collapse-skip path — the r3 regression clawed back)
 - dedup_minhash_dupheavy: the same op over a materialized every-text-
                 twice twin corpus — the collapse-ENGAGED regime
-- decontaminate: cross-corpus train/test overlap removal (exact md5 arm
-                + inverted-index near arm) against the doc_id%13 eval
-                slice
+- decontaminate: cross-corpus train/test overlap removal against the
+                doc_id%13 eval slice — probe-routed (this corpus takes
+                the dense GEMM near arm; the probe's driver actions are
+                part of the timed cost, as in production)
+- decontaminate_inverted: the same op with the inverted-index near arm
+                forced (the big-eval-suite route, and the r4-era
+                pre-dense measurement for cross-round comparison)
 - dup_spans:    substring-span dedup (duplicated 13-gram windows ->
                 merged per-doc token intervals; the Lee et al. pass)
 - knn_topk:     brute-force cosine top-k over embeddings
@@ -146,6 +150,12 @@ def main() -> int:
         timed(
             "decontaminate",
             lambda: decontaminate(docs, test_slice, threshold=0.8).count(),
+        )
+        timed(
+            "decontaminate_inverted",
+            lambda: decontaminate(
+                docs, test_slice, threshold=0.8, dense=False
+            ).count(),
         )
         timed("dup_spans", lambda: dup_spans(docs).count())
         timed("knn_topk", lambda: brute_topk(emb).count())

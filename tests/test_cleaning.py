@@ -263,3 +263,17 @@ def test_c4_plan_is_zero_exchange_jvm(spark, tmp_path):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_c4_handles_crlf_documents(spark):
+    """CRLF (Windows) docs split cleanly: no trailing \\r survives to
+    fail the terminal-punctuation rule or pad the word count."""
+    from text_ocr_spark.ops.cleaning import c4_line_filter
+
+    l1 = "alpha beta gamma delta epsilon."
+    crlf = ("\r\n").join([l1] * 3) + "\r\n"
+    df = spark.createDataFrame([(1, crlf)], "doc_id long, text string")
+    r = c4_line_filter(df).collect()[0]
+    assert r.n_lines_kept == 3
+    assert r.keep_doc == 1
+    assert r.clean_text == "\n".join([l1] * 3)

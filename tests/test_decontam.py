@@ -233,3 +233,27 @@ def test_frequent_ngrams_plan_takeordered(spark):
     p = frequent_ngrams(docs)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in p
     assert "MapInPandas" not in p and "BatchEvalPython" not in p
+
+
+def test_dense_doc_cap_forced_raises_and_probe_falls_back(spark):
+    """The DENSE_MAX_TEST_DOCS cap itself: a tiny-vocab test corpus
+    with too many DOCS must refuse the forced dense route (the cap
+    bounds the driver collect and the broadcast), and the probe
+    (dense=None) must fall back to the inverted arm instead of
+    collecting >4096 masks."""
+    from text_ocr_spark.ops.decontam import DENSE_MAX_TEST_DOCS
+
+    train = _tr(spark, [(1, "a b")])
+    n = DENSE_MAX_TEST_DOCS + 1
+    big_docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("a b").alias("text")
+    )
+    with pytest.raises(ValueError, match="dense route forced"):
+        decontaminate(train, big_docs, dense=True)
+    p = (
+        decontaminate(train, big_docs, dense=None)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" not in p  # inverted arm: pure JVM

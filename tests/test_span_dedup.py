@@ -282,3 +282,13 @@ def test_pack_shards_precomputed_token_column(spark):
         for r in pack_shards(pre, 10, 2, n_tokens_col="my_count").collect()
     )
     assert a == b
+
+
+def test_pack_shards_whitespace_token_contract(spark):
+    """The budget counts REAL tokens: trailing newlines add no phantom
+    token and tabs-only docs count 0 (docstring contract) — the raw
+    size(split(trim)) idiom would count 3 and 2 here."""
+    rows = [(0, "a b\n"), (1, "\t"), (2, "  "), (3, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_tokens for r in pack_shards(df, 100, 2).collect()}
+    assert got == {0: 2, 1: 0, 2: 0, 3: 3}

@@ -262,7 +262,12 @@ def c4_line_filter(docs: DataFrame) -> DataFrame:
     semantics.
     """
     text = F.coalesce(F.col("text"), F.lit(""))
-    lines = F.split(text, r"\n")
+    # \r?\n, not \n: Spark's trim() strips only spaces, so splitting a
+    # CRLF (Windows) document on bare \n would leave a trailing \r on
+    # every line — failing the terminal-punctuation rule for ALL lines
+    # of a perfectly clean doc (and the oracle would agree, so only a
+    # CRLF pytest catches it)
+    lines = F.split(text, r"\r?\n")
     t = lambda ln: F.trim(ln)  # noqa: E731
     keep_line = lambda ln: (  # noqa: E731
         F.substring(t(ln), -1, 1).isin(*C4_TERMINALS)

@@ -157,10 +157,17 @@ def pack_shards(
             F.col(n_tokens_col).cast("long"), F.lit(0)
         )
     else:
+        # count NON-EMPTY tokens: Spark trim() strips only spaces and
+        # split() keeps boundary empties, so the bare size(split(trim))
+        # idiom counts a phantom token for 'a b\n' and >= 1 for a
+        # tabs-only doc — budget inflation the docstring contract
+        # ("whitespace-only counts 0") forbids. token_stats keeps the
+        # raw idiom (its oracle and golden pin it); a budget must not.
+        toks = F.split(F.trim(F.col("text")), WS_RE)
         n_tok = (
             F.when(
-                F.length(F.trim(F.col("text"))) > 0,
-                F.size(F.split(F.trim(F.col("text")), WS_RE)),
+                F.col("text").isNotNull(),
+                F.size(F.filter(toks, lambda x: x != F.lit(""))),
             )
             .otherwise(F.lit(0))
             .cast("long")

@@ -58,6 +58,11 @@ from text_ocr_spark.ops.dedup import DENSE_VOCAB_LIMIT, tokens_col
 #: suites take the inverted-index route.
 DENSE_MAX_TEST_DOCS = 4096
 
+#: rows of the train-side Arrow batch scored per GEMM chunk: bounds the
+#: per-task numpy working set (chunk x DENSE_MAX_TEST_DOCS int64/f64
+#: temporaries ~ 60 MB) independently of arrow.maxRecordsPerBatch
+DENSE_SCORE_CHUNK = 512
+
 
 def _mask_rows(vid: dict, nbytes: int, id_name: str):
     """mapInPandas kernel: (id, toks) -> (id, packed mask over the test
@@ -124,29 +129,40 @@ def _near_dense_cross(
         for pdf in _mask_rows(vid, nbytes, "doc_id")(batches):
             if not len(pdf):
                 continue
-            ids_a = pdf["doc_id"].to_numpy(dtype=np.int64)
-            card_a = pdf["card"].to_numpy(dtype=np.int64)
-            rawa = np.frombuffer(
+            ids_b = pdf["doc_id"].to_numpy(dtype=np.int64)
+            card_b = pdf["card"].to_numpy(dtype=np.int64)
+            rawb = np.frombuffer(
                 b"".join(pdf["mask"]), dtype=np.uint8
             ).reshape(len(pdf), nbytes)
-            bits_a = np.unpackbits(rawa, axis=1).astype(np.float32)
-            # f32 GEMM exact for counts <= 4096 (same argument as the
-            # dedup tile kernel); jaccard math identical to the oracle:
-            # CAST(n_inter AS DOUBLE) / (card_t + card_s - n_inter)
-            inter = (bits_a @ t_bits.T).astype(np.int64)
-            union = card_a[:, None] + card_s[None, :] - inter
-            jac = inter.astype(np.float64) / union
-            # inter > 0 mirrors the inverted-index route: pairs must
-            # share at least one token (matters at threshold 0.0)
-            keep = (jac >= threshold) & (inter > 0)
-            ai, si = np.nonzero(keep)
-            yield pd.DataFrame(
-                {
-                    "doc_id": ids_a[ai],
-                    "test_id": t_ids[si],
-                    "jaccard": jac[ai, si],
-                }
-            )
+            # chunk the GEMM: a full 10k-row Arrow batch against 4096
+            # test masks would peak >1 GB in int64/f64 temporaries;
+            # DENSE_SCORE_CHUNK rows cap the working set at ~60 MB per
+            # task while the math stays bit-identical
+            for lo in range(0, len(pdf), DENSE_SCORE_CHUNK):
+                hi = lo + DENSE_SCORE_CHUNK
+                ids_a, card_a = ids_b[lo:hi], card_b[lo:hi]
+                bits_a = np.unpackbits(rawb[lo:hi], axis=1).astype(
+                    np.float32
+                )
+                # f32 GEMM exact for counts <= 4096 (same argument as
+                # the dedup tile kernel); jaccard math identical to the
+                # oracle: CAST(n_inter AS DOUBLE) / (card_t + card_s -
+                # n_inter)
+                inter = (bits_a @ t_bits.T).astype(np.int64)
+                union = card_a[:, None] + card_s[None, :] - inter
+                jac = inter.astype(np.float64) / union
+                # inter > 0 mirrors the inverted-index route: pairs
+                # must share at least one token (matters at threshold
+                # 0.0)
+                keep = (jac >= threshold) & (inter > 0)
+                ai, si = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": ids_a[ai],
+                        "test_id": t_ids[si],
+                        "jaccard": jac[ai, si],
+                    }
+                )
 
     return tr.select(
         "doc_id", tokens_col("text", ngram).alias("toks")

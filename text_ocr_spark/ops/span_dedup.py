@@ -45,7 +45,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from text_ocr_spark.ops.text_stats import WS_RE
+from text_ocr_spark.ops.text_stats import WS_RE, ws_tokens  # noqa: F401
 
 #: the paper's canonical window width (50 BPE tokens ~ 13 words); kept
 #: as the default so `dup_spans(docs)` is the published operating point
@@ -58,10 +58,9 @@ def _windows(docs: DataFrame, ngram: int) -> DataFrame:
     ``ngram`` tokens emit nothing (a window that does not exist cannot
     be duplicated — unlike ``tokens_col``'s whole-doc clamp, which
     serves set-jaccard semantics, span semantics need real offsets)."""
-    arr = F.split(F.trim(F.col("text")), WS_RE)
     return (
         docs.where(F.col("text").isNotNull())
-        .select("doc_id", arr.alias("arr"))
+        .select("doc_id", ws_tokens().alias("arr"))
         # guard BEFORE sequence(): sequence(1, 0) steps backwards
         .where(F.size("arr") >= ngram)
         .select(
@@ -136,8 +135,7 @@ def strip_dup_spans(
             ).alias("spans")
         )
     )
-    arr = F.split(F.trim(F.col("text")), WS_RE)
-    toks = F.when(F.col("text").isNotNull(), arr)
+    toks = F.when(F.col("text").isNotNull(), ws_tokens())
     # (token, index) pairs, JVM-side; keep tokens outside every span
     indexed = F.zip_with(
         toks,
