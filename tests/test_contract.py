@@ -33,6 +33,7 @@ SUBSET = [
     "gopher_filter",
     "dedup_minhash",
     "dedup_resolve",
+    "lm_perplexity",
 ]
 
 
@@ -119,8 +120,8 @@ def test_registry_head_covers_every_family():
         "multimodal_resize", "dedup_minhash_shingled", "ivf_train",
         "dedup_minhash", "dedup_resolve", "stream_dedup", "curate_corpus",
         "decontaminate", "frequent_ngrams",
-        "dup_spans", "strip_dup_spans", "sample_stratified", "pack_shards",
-        "c4_line_filter",
+        "dup_spans", "sample_stratified", "pack_shards",
+        "c4_line_filter", "lm_perplexity",
     ):
         assert required in head, required
     assert set(tail) <= {
@@ -140,4 +141,8 @@ def test_registry_head_covers_every_family():
         "ivf_assign", "extract_kind_stats", "conversation_digest",
         "q14_promo_revenue", "customer_order_ranks", "pii_scrub",
         "conversation_stats",
+        # strip_dup_spans = the in-window dup_spans row + one doc_id
+        # join + JVM token cuts (cut edges pytest-pinned in
+        # tests/test_span_dedup.py)
+        "strip_dup_spans",
     }
