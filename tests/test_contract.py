@@ -145,4 +145,8 @@ def test_registry_head_covers_every_family():
         # join + JVM token cuts (cut edges pytest-pinned in
         # tests/test_span_dedup.py)
         "strip_dup_spans",
+        # parameter twins of the in-window pack_shards /
+        # sample_stratified rows (md5-draw layout & upsampling), each
+        # pytest-pinned in tests/test_span_dedup.py
+        "pack_shards_shuffled", "sample_weighted",
     }

@@ -292,3 +292,138 @@ def test_pack_shards_whitespace_token_contract(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: r.n_tokens for r in pack_shards(df, 100, 2).collect()}
     assert got == {0: 2, 1: 0, 2: 0, 3: 3}
+
+
+# ---------------------------------------------------------------------------
+# pack_shards(shuffle_seed) — deterministic shuffle-then-pack
+# ---------------------------------------------------------------------------
+
+
+def test_pack_shards_shuffled_equals_global_window(spark):
+    """The hex-prefix bucketing is a PREFIX of the (draw, doc_id) order
+    key, so the two-level form is bit-identical to one global window
+    ordered by the draw."""
+    from pyspark.sql import Window
+
+    counts = [(i * 41) % 19 for i in range(151)]
+    docs = _tok_docs(spark, counts)
+    got = sorted(
+        tuple(r) for r in pack_shards(docs, 40, shuffle_seed=7).collect()
+    )
+    draw = F.md5(
+        F.concat_ws(":", F.lit("7"), F.col("doc_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    toks = F.split(F.trim(F.col("text")), r"[ \t\n\f\r]+")
+    n_tok = (
+        F.when(
+            F.col("text").isNotNull(),
+            F.size(F.filter(toks, lambda x: x != F.lit(""))),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    w = Window.orderBy("draw", "doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    want = sorted(
+        tuple(r)
+        for r in docs.select(
+            "doc_id", n_tok.alias("n_tokens"), draw.alias("draw")
+        )
+        .withColumn(
+            "shard_id",
+            F.floor(
+                F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(40)
+            ).cast("long"),
+        )
+        .select("doc_id", "n_tokens", "shard_id")
+        .collect()
+    )
+    assert got == want
+
+
+def test_pack_shards_shuffled_permutes_but_keeps_budget(spark):
+    """The shuffled layout actually decorrelates doc_id from shard_id,
+    stays deterministic per seed, differs across seeds, and every shard
+    still holds <= budget + one overshoot doc."""
+    counts = [5] * 60
+    docs = _tok_docs(spark, counts)
+    a = {r.doc_id: r.shard_id for r in pack_shards(docs, 25, shuffle_seed=7).collect()}
+    b = {r.doc_id: r.shard_id for r in pack_shards(docs, 25, shuffle_seed=7).collect()}
+    c = {r.doc_id: r.shard_id for r in pack_shards(docs, 25, shuffle_seed=8).collect()}
+    assert a == b
+    assert a != c
+    # uniform 5-token docs, budget 25 -> every shard exactly 5 docs,
+    # but membership is NOT five consecutive doc_ids for every shard
+    from collections import Counter
+
+    sizes = Counter(a.values())
+    assert set(sizes.values()) == {5}
+    consecutive = sum(
+        1
+        for s in sizes
+        if sorted(d for d, sh in a.items() if sh == s)
+        == list(range(min(d for d, sh in a.items() if sh == s),
+                      min(d for d, sh in a.items() if sh == s) + 5))
+    )
+    assert consecutive < len(sizes)
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted — upsampling (frac > 1) via deterministic epochs
+# ---------------------------------------------------------------------------
+
+from text_ocr_spark.ops.curate import sample_weighted  # noqa: E402
+
+
+def test_sample_weighted_epoch_counts(spark):
+    """frac = 2.0 -> exactly 2 epochs per doc; frac = 2.5 -> 2 or 3
+    with the SAME md5 draw deciding the extra copy as
+    sample_stratified's membership; frac < 1 degenerates to
+    sample_stratified (0 or 1 copies); 0.0 and unlisted keys drop."""
+    fr = {"en": 2.0, "de": 2.5, "fr": 0.3, "es": 0.0}
+    docs = _lang_docs(spark)  # en/de/fr/zh round-robin
+    out = sample_weighted(docs, fr, "lang").collect()
+    from collections import Counter
+
+    copies = Counter(r.doc_id for r in out)
+    langs = ["en", "de", "fr", "zh"]
+    for i in range(200):
+        lang = langs[i % 4]
+        if lang == "en":
+            assert copies[i] == 2
+        elif lang == "de":
+            assert copies[i] == 2 + int(_expect_keep(i, 0.5))
+        elif lang == "fr":
+            assert copies[i] == int(_expect_keep(i, 0.3))
+        else:
+            assert copies[i] == 0
+    # epochs are 0..n-1 per doc
+    eps = {}
+    for r in out:
+        eps.setdefault(r.doc_id, []).append(r.epoch)
+    assert all(sorted(v) == list(range(len(v))) for v in eps.values())
+    # the fractional membership below 1.0 equals sample_stratified's
+    kept_strat = {
+        r.doc_id
+        for r in sample_stratified(docs, {"fr": 0.3}, "lang").collect()
+    }
+    assert {r.doc_id for r in out if r.lang == "fr"} == kept_strat
+
+
+def test_sample_weighted_plan_zero_exchange(spark, tmp_path):
+    """Upsampling stays a map-only plan: filter + bounded explode, no
+    shuffle, no Python."""
+    p = str(tmp_path / "docs.parquet")
+    _lang_docs(spark).write.parquet(p)
+    plan = (
+        sample_weighted(spark.read.parquet(p), {"en": 2.5}, "lang")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan

@@ -115,11 +115,74 @@ def sample_stratified(
     )
 
 
+def sample_weighted(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "lang",
+    seed: int = 42,
+) -> DataFrame:
+    """-> (doc_id, <key_col>, draw, epoch): deterministic WEIGHTED
+    sampling with replacement — ``sample_stratified`` extended to
+    mixture weights above 1.0 (the upsampling half of domain mixing:
+    Pile-style "epochs", where a high-quality domain repeats in the
+    training stream). A doc with weight w emits floor(w) copies plus
+    one more iff its draw clears the fractional remainder — so the
+    EXPECTED copy count is exactly w, membership of the extra copy is
+    the same md5 draw as sample_stratified (pure row function: stable
+    under any partitioning / cluster size), and epoch = 0..n_copies-1
+    tags each repeat for downstream shuffling into distinct passes.
+
+    Scale shape: one scan, one JVM predicate + a bounded explode
+    (ceil(w) elements per row) — still ZERO exchanges; keys absent
+    from ``fractions`` drop as in sample_stratified.
+    """
+    draw = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(str(seed)), F.col("doc_id").cast("string")
+            ).cast("binary")
+        ),
+        1,
+        8,
+    )
+
+    def thr(frac: float) -> str:
+        if frac >= 1.0:
+            return "g"
+        return format(max(int(frac * 2**32), 0), "08x")
+
+    n_copies = F.lit(0)
+    for key, frac in sorted(fractions.items()):
+        base_n = int(frac)
+        extra = (draw < F.lit(thr(frac - base_n))).cast("int")
+        n_copies = F.when(
+            F.col(key_col) == key, F.lit(base_n) + extra
+        ).otherwise(n_copies)
+    return (
+        docs.select(
+            "doc_id",
+            key_col,
+            draw.alias("draw"),
+            n_copies.alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            key_col,
+            "draw",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_copies") - 1)
+            ).alias("epoch"),
+        )
+    )
+
+
 def pack_shards(
     docs: DataFrame,
     max_tokens: int,
     bucket_size: int = 4096,
     n_tokens_col: str | None = None,
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """-> (doc_id, n_tokens, shard_id): token-budget shard assignment —
     the corpus-to-training-shards step. Documents are laid out in
@@ -149,6 +212,20 @@ def pack_shards(
     ``n_tokens_col`` naming a precomputed count column (e.g. from
     token_stats) so both passes read a long instead of re-tokenizing
     the text column.
+
+    ``shuffle_seed`` switches the layout from doc_id order to a
+    DETERMINISTIC pseudo-random permutation — training shards want
+    decorrelated document order, and a real shuffle-then-pack must not
+    depend on RNG state or physical partitioning. The order key becomes
+    (md5(seed:doc_id), doc_id) and the prefix-sum buckets by the
+    draw's first 4 hex chars (conv to int): the bucket is a PREFIX of
+    the order key, so (bucket, draw, doc_id) ordering equals global
+    (draw, doc_id) ordering and the two-level machinery carries over
+    unchanged — buckets are now ~uniform n/65536 slices of the
+    permutation (empty ones simply don't appear in the offsets frame).
+    Output is bit-identical to a single global window ordered by
+    (draw, doc_id) — pytest differential — and doc_id order within a
+    shard is immaterial to the budget contract.
     """
     from pyspark.sql import Window
 
@@ -172,10 +249,28 @@ def pack_shards(
             .otherwise(F.lit(0))
             .cast("long")
         )
+    if shuffle_seed is None:
+        bucket = F.floor(F.col("doc_id") / F.lit(bucket_size))
+        order_cols = [F.col("doc_id")]
+        extra_cols = []
+    else:
+        draw = F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(str(shuffle_seed)),
+                F.col("doc_id").cast("string"),
+            ).cast("binary")
+        )
+        # lowercase-hex lexicographic order == numeric order of the
+        # 4-char prefix, so this bucket is a prefix of the order key
+        bucket = F.conv(F.substring(draw, 1, 4), 16, 10).cast("long")
+        order_cols = [F.col("draw"), F.col("doc_id")]
+        extra_cols = [draw.alias("draw")]
     base = docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.floor(F.col("doc_id") / F.lit(bucket_size)).alias("bucket"),
+        bucket.alias("bucket"),
+        *extra_cols,
     )
     bsum = base.groupBy("bucket").agg(F.sum("n_tokens").alias("btok"))
     wb = Window.orderBy("bucket").rowsBetween(
@@ -184,7 +279,7 @@ def pack_shards(
     offsets = bsum.select(
         "bucket", F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("boff")
     )
-    wd = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+    wd = Window.partitionBy("bucket").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, -1
     )
     return (
