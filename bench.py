@@ -20,6 +20,8 @@ Queries timed (post-warmup of the Spark session):
                 pre-dense measurement for cross-round comparison)
 - dup_spans:    substring-span dedup (duplicated 13-gram windows ->
                 merged per-doc token intervals; the Lee et al. pass)
+- lm_perplexity: CCNet bigram-LM quality scoring (train on the
+                doc_id%7 slice, score + tercile-bucket the corpus)
 - knn_topk:     brute-force cosine top-k over embeddings
 - q1:           TPC-H Q1 shape over lineitem
 - token_stats:  JVM-only text analysis sweep
@@ -158,6 +160,14 @@ def main() -> int:
             ).count(),
         )
         timed("dup_spans", lambda: dup_spans(docs).count())
+        from text_ocr_spark.ops.lm import lm_perplexity
+
+        lm_ref = docs.where(F.col("doc_id") % 7 == 0).select(
+            "doc_id", "text"
+        )
+        timed(
+            "lm_perplexity", lambda: lm_perplexity(docs, lm_ref).count()
+        )
         timed("knn_topk", lambda: brute_topk(emb).count())
         timed("q1", lambda: q1_pricing_summary(spark, sf_dir).count())
         timed("token_stats", lambda: token_stats(docs).count())

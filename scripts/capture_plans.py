@@ -81,6 +81,15 @@ def _sample_stratified_df(docs):
     )
 
 
+def _lm_perplexity_df(spark, docs):
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.lm import lm_perplexity
+
+    ref = docs.where(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    return lm_perplexity(docs, ref)
+
+
 def _decontaminate_df(spark, docs, dense=None):
     from pyspark.sql import functions as F
 
@@ -340,6 +349,21 @@ def main() -> int:
             "the corpus into one task; output is pytest-pinned "
             "identical to that form.",
             _pack_shards_df(docs),
+        ),
+        (
+            "lm_perplexity (CCNet LM-quality scoring)",
+            "Training is two map-side-combined word-count aggregates "
+            "over the reference slice; V rides a broadcast 1-row frame. "
+            "Scoring explodes doc bigrams once and LEFT-joins the "
+            "unigram/bigram count tables (AQE broadcasts a small model, "
+            "else a plain shuffled equi-join); per-pair log-probs are "
+            "fixed-point BIGINTs so the per-doc sums stay exact-integer "
+            "HashAggregates. Tercile cutoffs come from a cumulative "
+            "histogram over DISTINCT rounded scores — the only "
+            "non-partitioned window runs over that small frame, never "
+            "the corpus — and broadcast back as one row. No Python "
+            "anywhere (pytest plan gate).",
+            _lm_perplexity_df(spark, docs),
         ),
         (
             "sample_stratified (domain mixing)",
