@@ -22,6 +22,8 @@ Queries timed (post-warmup of the Spark session):
                 merged per-doc token intervals; the Lee et al. pass)
 - lm_perplexity: CCNet bigram-LM quality scoring (train on the
                 doc_id%7 slice, score + tercile-bucket the corpus)
+- dsir_select:  DSIR importance resampling (hashed n-gram bag models
+                vs the doc_id%11 target slice, Gumbel-top-1000)
 - knn_topk:     brute-force cosine top-k over embeddings
 - q1:           TPC-H Q1 shape over lineitem
 - token_stats:  JVM-only text analysis sweep
@@ -167,6 +169,15 @@ def main() -> int:
         )
         timed(
             "lm_perplexity", lambda: lm_perplexity(docs, lm_ref).count()
+        )
+        from text_ocr_spark.ops.dsir import dsir_select
+
+        dsir_target = docs.where(F.col("doc_id") % 11 == 0).select(
+            "doc_id", "text"
+        )
+        timed(
+            "dsir_select",
+            lambda: dsir_select(docs, dsir_target, k=1000).count(),
         )
         timed("knn_topk", lambda: brute_topk(emb).count())
         timed("q1", lambda: q1_pricing_summary(spark, sf_dir).count())

@@ -90,6 +90,15 @@ def _lm_perplexity_df(spark, docs):
     return lm_perplexity(docs, ref)
 
 
+def _dsir_select_df(spark, docs):
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.dsir import dsir_select
+
+    target = docs.where(F.col("doc_id") % 11 == 0).select("doc_id", "text")
+    return dsir_select(docs, target, k=100)
+
+
 def _decontaminate_df(spark, docs, dense=None):
     from pyspark.sql import functions as F
 
@@ -364,6 +373,24 @@ def main() -> int:
             "the corpus — and broadcast back as one row. No Python "
             "anywhere (pytest plan gate).",
             _lm_perplexity_df(spark, docs),
+        ),
+        (
+            "dsir_select (DSIR importance resampling)",
+            "Two corpus tokenize passes — the algorithm's inherent "
+            "shape (the q model must be fit before any doc can be "
+            "scored): one explode -> map-side-combined groupBy(bucket) "
+            "for the model (<= B result rows), one explode -> broadcast "
+            "join against the <= B-row log-ratio table -> "
+            "groupBy(doc_id) for scoring, whose partial aggs combine "
+            "to one row per document before the only corpus-wide "
+            "shuffle. Model totals are window sums over the single "
+            "full-outer-joined <= 2B-row model frame, never separate "
+            "aggregates that would each re-tokenize the corpus. The "
+            "exact top-k boundary is TakeOrderedAndProject; its branch "
+            "references every base column so column pruning stays "
+            "symmetric and AQE reuses the scoring shuffle instead of "
+            "recomputing it (runtime-reuse pytest gate).",
+            _dsir_select_df(spark, docs),
         ),
         (
             "sample_stratified (domain mixing)",

@@ -121,7 +121,7 @@ def test_registry_head_covers_every_family():
         "dedup_minhash", "dedup_resolve", "stream_dedup", "curate_corpus",
         "decontaminate", "frequent_ngrams",
         "dup_spans", "sample_stratified", "pack_shards",
-        "c4_line_filter", "lm_perplexity",
+        "c4_line_filter", "lm_perplexity", "dsir_select",
     ):
         assert required in head, required
     assert set(tail) <= {
@@ -149,4 +149,9 @@ def test_registry_head_covers_every_family():
         # sample_stratified rows (md5-draw layout & upsampling), each
         # pytest-pinned in tests/test_span_dedup.py
         "pack_shards_shuffled", "sample_weighted",
+        # r4 fourth-pass demotion (head slot -> dsir_select): the
+        # text-analysis family's fourth sibling, same pure-JVM
+        # row-function shape as the in-window token_stats/lang_id/
+        # doc_fingerprint rows (green r1-r3), oracle retained
+        "quality_score",
     }
