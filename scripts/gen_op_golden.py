@@ -163,20 +163,18 @@ def _half_up(x: float) -> int:
     return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
 
 
-def golden_ivf_train(emb: pd.DataFrame) -> pd.DataFrame:
-    """Replay ivf_train end to end in pure Python: md5-seeded init, the
-    sequential-fold double cosine for every assignment (bit-identical to
-    cosine_col), exact int64 fixed-point mean updates, then the final
-    ivf_assign against the trained centroids."""
-    ids = [int(i) for i in emb["vec_id"]]
-    vecs = {
-        int(i): [float(np.float32(v)) for v in e]
-        for i, e in zip(emb["vec_id"], emb["embedding"])
-    }
+def replay_kmeans(
+    vecs: dict[int, list[float]], k: int = KMEANS_K, iters: int = KMEANS_ITERS
+):
+    """Pure-Python replay of ivf_train's deterministic Lloyd's loop:
+    md5-seeded init, sequential-fold double cosine for every assignment
+    (bit-identical to cosine_col), exact int64 fixed-point mean updates.
+    -> (cents, assign) with assign(vid) the trained-cell id."""
+    ids = sorted(vecs)
     seed_order = sorted(
         ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
     )
-    cents = [list(vecs[i]) for i in seed_order[:KMEANS_K]]
+    cents = [list(vecs[i]) for i in seed_order[:k]]
 
     def assign(vid: int) -> int:
         scored = sorted(
@@ -185,7 +183,7 @@ def golden_ivf_train(emb: pd.DataFrame) -> pd.DataFrame:
         )
         return scored[0][1]
 
-    for _ in range(KMEANS_ITERS):
+    for _ in range(iters):
         sums: dict[int, list[int]] = {}
         counts: dict[int, int] = {}
         for vid in ids:
@@ -196,9 +194,87 @@ def golden_ivf_train(emb: pd.DataFrame) -> pd.DataFrame:
             counts[cid] = counts.get(cid, 0) + 1
         for cid, acc in sums.items():
             cents[cid] = [(q / counts[cid]) / KMEANS_SCALE for q in acc]
+    return cents, assign
 
-    rows = [(vid, assign(vid)) for vid in sorted(ids)]
+
+def _vec_map(emb: pd.DataFrame) -> dict[int, list[float]]:
+    # float32 storage cast element-wise to float64, like Spark's
+    # x.cast('double') inside the fold
+    return {
+        int(i): [float(np.float32(v)) for v in e]
+        for i, e in zip(emb["vec_id"], emb["embedding"])
+    }
+
+
+def golden_ivf_train(emb: pd.DataFrame) -> pd.DataFrame:
+    """Replay ivf_train end to end in pure Python, then the final
+    ivf_assign against the trained centroids."""
+    vecs = _vec_map(emb)
+    _, assign = replay_kmeans(vecs)
+    rows = [(vid, assign(vid)) for vid in sorted(vecs)]
     return pd.DataFrame(rows, columns=["vec_id", "centroid_id"])
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (spec: ops/dedup.py semdedup — trained cells, within-cell
+# cosine pairs, per-component keep = farthest-from-centroid member)
+# --------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.35
+SEMDEDUP_COS_SCALE = 1_000_000
+
+
+def golden_semdedup(emb: pd.DataFrame) -> pd.DataFrame:
+    """Replay semdedup end to end: replay_kmeans cells, per-cell numpy
+    float64 cosine matrices (the same matmul the GEMM tile kernel runs;
+    at sf0.01 every cell is one sub-block, so the tile set is exactly
+    the per-cell matrix), union-find components, keep = min
+    (micro-quantized seq_cosine-to-centroid, vec_id)."""
+    vecs = _vec_map(emb)
+    cents, assign = replay_kmeans(vecs)
+    cent_of = {vid: assign(vid) for vid in vecs}
+    cells: dict[int, list[int]] = {}
+    for vid in sorted(vecs):
+        cells.setdefault(cent_of[vid], []).append(vid)
+
+    parent = {vid: vid for vid in vecs}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in cells.values():
+        mat = np.array([vecs[v] for v in members], dtype=np.float64)
+        norm = np.sqrt((mat * mat).sum(axis=1))
+        cos = (mat @ mat.T) / (norm[:, None] * norm[None, :])
+        ai, bi = np.nonzero(np.triu(cos >= SEMDEDUP_THRESHOLD, k=1))
+        for a, b in zip(ai, bi):
+            ra, rb = find(members[a]), find(members[b])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+    comp: dict[int, list[int]] = {}
+    for vid in sorted(vecs):
+        comp.setdefault(find(vid), []).append(vid)
+    ccos = {
+        vid: _half_up(
+            seq_cosine(vecs[vid], cents[cent_of[vid]]) * SEMDEDUP_COS_SCALE
+        )
+        for vid in vecs
+    }
+    rows = []
+    for members in comp.values():
+        cl = min(members)
+        keep = min(members, key=lambda v: (ccos[v], v))
+        for v in members:
+            rows.append((v, cent_of[v], cl, keep, int(v != keep)))
+    rows.sort()
+    return pd.DataFrame(
+        rows,
+        columns=["vec_id", "centroid_id", "cluster_id", "keep_id", "is_dup"],
+    )
 
 
 # --------------------------------------------------------------------------
@@ -297,6 +373,17 @@ def main(sfs: list[str]) -> None:
             golden_ivf_train(emb),
             pa.schema([("vec_id", pa.int64()), ("centroid_id", pa.int32())]),
             f"fixturedata/golden_ivf_train_{sf}.parquet",
+        )
+        _write(
+            golden_semdedup(emb),
+            pa.schema(
+                [
+                    ("vec_id", pa.int64()), ("centroid_id", pa.int32()),
+                    ("cluster_id", pa.int64()), ("keep_id", pa.int64()),
+                    ("is_dup", pa.int32()),
+                ]
+            ),
+            f"fixturedata/golden_semdedup_{sf}.parquet",
         )
         _write(
             golden_vertical(docs),

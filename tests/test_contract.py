@@ -154,4 +154,9 @@ def test_registry_head_covers_every_family():
         # row-function shape as the in-window token_stats/lang_id/
         # doc_fingerprint rows (green r1-r3), oracle retained
         "quality_score",
+        # r4 fourth-pass tail addition: composition of in-window
+        # ivf_train + dedup_embed's tile kernel + dedup_resolve's
+        # components, with the paper keep rule pytest-pinned
+        # (tests/test_semdedup.py) and a committed-golden oracle
+        "semdedup",
     }

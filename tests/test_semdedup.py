@@ -1,0 +1,159 @@
+"""SemDeDup (ops/dedup.py::semdedup): pure-Python replay equality at a
+non-default (k, iters), the paper's farthest-from-centroid keep rule,
+within-cell-only pairing, sub-block differential, and partition
+independence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_TINY = "/root/testdata/sf0.001"
+THR = 0.35
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_TINY}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def _replay(rows, k, iters, thr=THR):
+    """Pure-Python SemDeDup twin (independent of the committed golden's
+    scale/params): replayed k-means, per-cell numpy cosine matrices,
+    union-find, keep = min (micro-cos-to-centroid, vec_id)."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo/scripts")
+    from gen_op_golden import _half_up, replay_kmeans, seq_cosine
+
+    vecs = {
+        int(r.vec_id): [float(np.float32(v)) for v in r.embedding]
+        for r in rows
+    }
+    cents, assign = replay_kmeans(vecs, k=k, iters=iters)
+    cent_of = {v: assign(v) for v in vecs}
+    cells: dict[int, list[int]] = {}
+    for v in sorted(vecs):
+        cells.setdefault(cent_of[v], []).append(v)
+    parent = {v: v for v in vecs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in cells.values():
+        mat = np.array([vecs[v] for v in members], dtype=np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        cos = (mat @ mat.T) / (nrm[:, None] * nrm[None, :])
+        ai, bi = np.nonzero(np.triu(cos >= thr, k=1))
+        for a, b in zip(ai, bi):
+            ra, rb = find(members[a]), find(members[b])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for v in sorted(vecs):
+        comp.setdefault(find(v), []).append(v)
+    ccos = {
+        v: _half_up(seq_cosine(vecs[v], cents[cent_of[v]]) * 1_000_000)
+        for v in vecs
+    }
+    out = {}
+    for members in comp.values():
+        cl = min(members)
+        keep = min(members, key=lambda v: (ccos[v], v))
+        for v in members:
+            out[v] = (cent_of[v], cl, keep, int(v != keep))
+    return out
+
+
+def test_semdedup_matches_pure_python_replay(spark, emb):
+    from text_ocr_spark.ops.dedup import semdedup
+
+    got = {
+        r.vec_id: (r.centroid_id, r.cluster_id, r.keep_id, r.is_dup)
+        for r in semdedup(emb, k=5, iters=2).collect()
+    }
+    want = _replay(emb.collect(), k=5, iters=2)
+    assert got == want
+    assert sum(1 for v in got.values() if v[3] == 1) > 0  # real dups exist
+
+
+def test_semdedup_keep_rule_is_farthest_from_centroid(spark, emb):
+    """In every multi-member cluster the keeper must be the member with
+    the minimal (cos-to-centroid, vec_id) — NOT necessarily the min id
+    (embed_resolve's rule); the fixture corpus must distinguish them."""
+    from text_ocr_spark.ops.dedup import semdedup
+    from text_ocr_spark.ops.similarity import cosine_col, ivf_train
+
+    cents = ivf_train(emb, k=5, iters=2)
+    out = semdedup(emb, k=5, iters=2, centroids=cents)
+    ccos = {
+        r.vec_id: r.c
+        for r in emb.join(
+            out.select("vec_id", "centroid_id"), "vec_id"
+        )
+        .join(F.broadcast(cents), "centroid_id")
+        .select(
+            "vec_id",
+            F.round(cosine_col("embedding", "cv") * 1_000_000)
+            .cast("long")
+            .alias("c"),
+        )
+        .collect()
+    }
+    rows = out.collect()
+    clusters: dict[int, list[int]] = {}
+    keep = {}
+    for r in rows:
+        clusters.setdefault(r.cluster_id, []).append(r.vec_id)
+        keep[r.cluster_id] = r.keep_id
+    multi = {c: m for c, m in clusters.items() if len(m) > 1}
+    assert multi
+    for c, members in multi.items():
+        assert keep[c] == min(members, key=lambda v: (ccos[v], v))
+    # the paper rule must actually differ from min-id somewhere on this
+    # corpus, else the test proves nothing
+    assert any(keep[c] != min(m) for c, m in multi.items())
+
+
+def test_semdedup_pairs_are_within_cell_only(spark, emb):
+    """Every duplicate component must live inside ONE k-means cell —
+    cross-cell duplicates are out of scope by the paper's design."""
+    from text_ocr_spark.ops.dedup import semdedup
+
+    rows = semdedup(emb, k=5, iters=2).collect()
+    cell_of = {r.vec_id: r.centroid_id for r in rows}
+    comp: dict[int, set[int]] = {}
+    for r in rows:
+        comp.setdefault(r.cluster_id, set()).add(cell_of[r.vec_id])
+    assert all(len(cells) == 1 for cells in comp.values())
+
+
+def test_semdedup_subblock_differential(spark, emb):
+    """Forcing tiny sub-blocks (block_size=16 -> many tiles per cell)
+    must not change a single verdict vs the one-tile-per-cell run."""
+    from text_ocr_spark.ops.dedup import semdedup
+
+    a = sorted(map(tuple, semdedup(emb, k=4, iters=1).collect()))
+    b = sorted(
+        map(tuple, semdedup(emb, k=4, iters=1, block_size=16).collect())
+    )
+    assert a == b
+
+
+def test_semdedup_partition_independence(spark, emb):
+    from text_ocr_spark.ops.dedup import semdedup
+    from text_ocr_spark.ops.similarity import ivf_train
+
+    cents = ivf_train(emb, k=4, iters=1)
+    a = semdedup(emb, k=4, iters=1, centroids=cents)
+    b = semdedup(
+        emb.repartition(13, "embedding"), k=4, iters=1, centroids=cents
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

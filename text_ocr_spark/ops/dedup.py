@@ -1018,6 +1018,133 @@ def embed_resolve(emb: DataFrame, threshold: float | None = None) -> DataFrame:
     )
 
 
+#: fixed-point scale for centroid-cosine keep ranking (micro units —
+#: coarse enough that a JVM-vs-replay ulp can never flip a comparison,
+#: fine enough that distinct vectors rank distinctly)
+SEMDEDUP_COS_SCALE = 1_000_000
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float | None = None,
+    *,
+    k: int = 8,
+    iters: int = 4,
+    centroids: DataFrame | None = None,
+    block_size: int = DENSE_BLOCK,
+    n_vecs: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings with k-means,
+    find cosine near-duplicates WITHIN each cluster only, and per
+    duplicate group keep the example with the LOWEST cosine to its
+    cluster centroid (the paper's diversity-preserving keep rule; ties
+    by min vec_id).
+
+    -> (vec_id, centroid_id, cluster_id, keep_id, is_dup). cluster_id
+    is the duplicate-component's min vec_id (a label, not the keeper —
+    unlike embed_resolve, keep_id here is the centroid-farthest member).
+
+    Scale shape (the reason SemDeDup exists at 100 TB): the k-means
+    partition bounds pairwise work to within-cell tiles — O(sum_c n_c^2)
+    instead of O(n^2) — and a cell larger than ``block_size`` splits
+    into deterministic xxhash64 sub-blocks so no single task ever
+    materializes more than a block_size^2 cosine tile (the exact GEMM
+    kernel shared with embed_pairs / the incremental embedding index).
+    Cross-cell duplicates are out of scope BY DESIGN (the paper's
+    approximation); callers needing global recall use embed_resolve.
+    All aggregates are long-only HashAggregates (the min-cos keeper is
+    a two-pass min + back-join, never a min_by over wide rows); the
+    only driver actions are ivf_train's bounded k*d-row updates and the
+    n_vecs metadata count.
+
+    Deterministic end to end (seeded k-means init, sequential-fold
+    centroid cosines quantized to micro units, exact tile kernel,
+    total tie-breaks) => oracle-able via a committed pure-Python
+    replay (scripts/gen_op_golden.py::golden_semdedup).
+    """
+    from text_ocr_spark.ops.similarity import (
+        cosine_col,
+        ivf_assign,
+        ivf_train,
+    )
+
+    thr = EMBED_THRESHOLD if threshold is None else threshold
+    cents = (
+        centroids if centroids is not None else ivf_train(emb, k=k, iters=iters)
+    )
+    assigned = ivf_assign(emb, centroids=cents)  # (vec_id, centroid_id)
+    tagged = emb.select("vec_id", "embedding").join(assigned, "vec_id")
+
+    # within-cell sub-blocking: expected sub-cell size ~= block_size on
+    # balanced cells; a skewed mega-cell still splits into bounded tiles
+    if n_vecs is None:
+        n_vecs = emb.count()  # metadata-only on a parquet source
+    n_sub = max(1, -(-n_vecs // (k * block_size)))
+    blocks = (
+        tagged.withColumn(
+            "sub", F.pmod(F.xxhash64("vec_id"), F.lit(n_sub))
+        )
+        .groupBy("centroid_id", "sub")
+        .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
+    )
+    # tiles pair sub-blocks of the SAME cell only; the shared kernel's
+    # block_a == block_b triangle rule needs a per-tile-unique id, so
+    # sub ids are offset by centroid (cells never pair across)
+    tiles = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.sub") <= F.col("b.sub")),
+        )
+        .select(
+            (F.col("a.centroid_id") * n_sub + F.col("a.sub")).alias("block_a"),
+            (F.col("b.centroid_id") * n_sub + F.col("b.sub")).alias("block_b"),
+            F.col("a.vecs").alias("vecs_a"),
+            F.col("b.vecs").alias("vecs_b"),
+        )
+        .repartition(_tile_partitions(k * n_sub, emb))
+    )
+    pairs = tiles.mapInPandas(
+        make_cosine_tile_fn(thr), schema="vec_a long, vec_b long, cos double"
+    ).select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+
+    clusters = resolve_pairs(
+        emb.select(F.col("vec_id").alias("doc_id")), pairs
+    ).select(F.col("doc_id").alias("vec_id"), "cluster_id")
+
+    # the paper's keep rule: per component, the member FARTHEST from its
+    # centroid survives (min cosine; tie-break min vec_id). Quantized
+    # micro-cosines keep every aggregate long-only and replayable.
+    cc = (
+        tagged.join(
+            F.broadcast(cents.select("centroid_id", "cv")), "centroid_id"
+        )
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.round(cosine_col("embedding", "cv") * SEMDEDUP_COS_SCALE)
+            .cast("long")
+            .alias("ccos"),
+        )
+        .join(clusters, "vec_id")
+    )
+    mins = cc.groupBy("cluster_id").agg(F.min("ccos").alias("mcos"))
+    keepers = (
+        cc.join(mins, "cluster_id")
+        .where(F.col("ccos") == F.col("mcos"))
+        .groupBy("cluster_id")
+        .agg(F.min("vec_id").alias("keep_id"))
+    )
+    return cc.join(keepers, "cluster_id").select(
+        "vec_id",
+        "centroid_id",
+        "cluster_id",
+        "keep_id",
+        (F.col("vec_id") != F.col("keep_id")).cast("int").alias("is_dup"),
+    )
+
+
 # --------------------------------------------------------------------------
 # embedding-cosine near-dup
 # --------------------------------------------------------------------------
