@@ -147,6 +147,45 @@ def test_semdedup_subblock_differential(spark, emb):
     assert a == b
 
 
+def test_semdedup_megacell_stays_block_bounded(spark, emb):
+    """One cell holding the whole corpus (k=1) must still split into
+    ~block_size sub-blocks (the ADAPTIVE per-cell count — a global
+    count keyed on k would make this one cell's tiles k times bigger),
+    and the verdicts must match the one-tile run exactly."""
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.dedup import semdedup
+    from text_ocr_spark.ops.similarity import ivf_train
+
+    cents = ivf_train(emb, k=1, iters=1)
+    big = sorted(
+        map(tuple, semdedup(emb, k=1, iters=1, centroids=cents).collect())
+    )
+    small = sorted(
+        map(
+            tuple,
+            semdedup(
+                emb, k=1, iters=1, centroids=cents, block_size=32
+            ).collect(),
+        )
+    )
+    assert big == small
+    # the adaptive sub count at block_size=32 over 500 one-cell vectors:
+    # 16 sub-blocks, max occupancy well under a few x block_size
+    n = emb.count()
+    n_sub = -(-n // 32)
+    occ = (
+        emb.select(
+            F.pmod(F.xxhash64("vec_id"), F.lit(n_sub)).alias("sub")
+        )
+        .groupBy("sub")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert occ <= 4 * 32
+
+
 def test_semdedup_partition_independence(spark, emb):
     from text_ocr_spark.ops.dedup import semdedup
     from text_ocr_spark.ops.similarity import ivf_train

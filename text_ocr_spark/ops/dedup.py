@@ -1075,21 +1075,31 @@ def semdedup(
     assigned = ivf_assign(emb, centroids=cents)  # (vec_id, centroid_id)
     tagged = emb.select("vec_id", "embedding").join(assigned, "vec_id")
 
-    # within-cell sub-blocking: expected sub-cell size ~= block_size on
-    # balanced cells; a skewed mega-cell still splits into bounded tiles
+    # within-cell sub-blocking, ADAPTIVE per cell: a cell of n_c members
+    # splits into ceil(n_c / block_size) xxhash64 sub-blocks, so the
+    # expected sub-block stays ~block_size whether cells are balanced or
+    # one mega-cell holds half the corpus — a GLOBAL sub count would
+    # either leave k*block_size-sized tiles in skewed cells or shatter
+    # small cells into thousands of near-empty tiles. The k-row size
+    # frame broadcasts (centroids already do).
     if n_vecs is None:
         n_vecs = emb.count()  # metadata-only on a parquet source
-    n_sub = max(1, -(-n_vecs // (k * block_size)))
+    sizes = assigned.groupBy("centroid_id").agg(F.count("*").alias("n_c"))
+    n_sub_col = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("n_c") / F.lit(block_size)).cast("long"),
+    )
     blocks = (
-        tagged.withColumn(
-            "sub", F.pmod(F.xxhash64("vec_id"), F.lit(n_sub))
-        )
+        tagged.join(F.broadcast(sizes), "centroid_id")
+        .withColumn("sub", F.pmod(F.xxhash64("vec_id"), n_sub_col))
         .groupBy("centroid_id", "sub")
         .agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
     )
     # tiles pair sub-blocks of the SAME cell only; the shared kernel's
     # block_a == block_b triangle rule needs a per-tile-unique id, so
-    # sub ids are offset by centroid (cells never pair across)
+    # sub ids are offset by centroid via a stride no cell's sub count
+    # can reach (global worst case: one cell holding every vector)
+    stride = max(1, -(-n_vecs // block_size)) + 1
     tiles = (
         blocks.alias("a")
         .join(
@@ -1098,12 +1108,16 @@ def semdedup(
             & (F.col("a.sub") <= F.col("b.sub")),
         )
         .select(
-            (F.col("a.centroid_id") * n_sub + F.col("a.sub")).alias("block_a"),
-            (F.col("b.centroid_id") * n_sub + F.col("b.sub")).alias("block_b"),
+            (F.col("a.centroid_id") * stride + F.col("a.sub")).alias(
+                "block_a"
+            ),
+            (F.col("b.centroid_id") * stride + F.col("b.sub")).alias(
+                "block_b"
+            ),
             F.col("a.vecs").alias("vecs_a"),
             F.col("b.vecs").alias("vecs_b"),
         )
-        .repartition(_tile_partitions(k * n_sub, emb))
+        .repartition(_tile_partitions(max(k, stride - 1), emb))
     )
     pairs = tiles.mapInPandas(
         make_cosine_tile_fn(thr), schema="vec_a long, vec_b long, cos double"
