@@ -159,4 +159,9 @@ def test_registry_head_covers_every_family():
         # components, with the paper keep rule pytest-pinned
         # (tests/test_semdedup.py) and a committed-golden oracle
         "semdedup",
+        # r4 fourth-pass tail addition: the GPT-3/PaLM n-gram-collision
+        # rule — in-window decontaminate's train/test surface over
+        # in-window dup_spans' single-sourced window kernel; exact
+        # oracle + pytests in tests/test_decontam.py
+        "decontaminate_ngrams",
     }

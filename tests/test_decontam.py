@@ -257,3 +257,88 @@ def test_dense_doc_cap_forced_raises_and_probe_falls_back(spark):
         .toString()
     )
     assert "MapInPandas" not in p  # inverted arm: pure JVM
+
+
+# --------------------------------------------------------------------------
+# decontaminate_ngrams — the GPT-3/PaLM n-gram-collision rule
+# --------------------------------------------------------------------------
+
+
+def test_ngram_decontam_semantics_by_eye(spark):
+    """3-gram windows over hand-built docs: counts, first positions,
+    fractions, and the short/NULL discipline all computable by eye."""
+    from text_ocr_spark.ops.decontam import decontaminate_ngrams
+
+    train = _tr(
+        spark,
+        [
+            # windows: "a b c", "b c d", "c d e" — first+last collide
+            (1, "a b c d e"),
+            # no window matches the test corpus
+            (2, "x y z w"),
+            # shorter than ngram: zero windows, never contaminated
+            (3, "a b"),
+            (4, None),
+            # every window collides (verbatim test fragment)
+            (5, "c d e"),
+        ],
+    )
+    test = _tr(spark, [(100, "a b c q q q c d e")])
+    got = {
+        r.doc_id: r
+        for r in decontaminate_ngrams(train, test, ngram=3).collect()
+    }
+    assert len(got) == 5
+    r1 = got[1]
+    assert (r1.n_windows, r1.n_hits, r1.first_hit_pos, r1.contaminated) == (
+        3, 2, 0, 1,
+    )
+    assert r1.hit_frac == pytest.approx(round(2 / 3, 6))
+    assert (got[2].n_hits, got[2].contaminated, got[2].first_hit_pos) == (
+        0, 0, -1,
+    )
+    for short in (3, 4):
+        r = got[short]
+        assert (r.n_windows, r.n_hits, r.hit_frac, r.contaminated) == (
+            0, 0, 0.0, 0,
+        )
+    assert (got[5].n_windows, got[5].n_hits, got[5].hit_frac) == (1, 1, 1.0)
+
+
+def test_ngram_decontam_differs_from_jaccard_decontam(spark):
+    """The two rules must disagree where they should: same vocabulary
+    in a different order defeats jaccard-at-1.0 detection only if
+    shingled, while a verbatim 13-token window embedded in an otherwise
+    alien doc is INVISIBLE to whole-doc jaccard at 0.8 but flags under
+    the collision rule — the scenario GPT-3's appendix C exists for."""
+    from text_ocr_spark.ops.decontam import decontaminate_ngrams
+
+    frag = " ".join(f"w{i}" for i in range(13))
+    alien = " ".join(f"z{i}" for i in range(100))
+    train = _tr(spark, [(1, f"{alien} {frag}")])
+    test = _tr(spark, [(100, f"{frag} other tail tokens here")])
+    jac = decontaminate(train, test, threshold=0.8).collect()[0]
+    col = decontaminate_ngrams(train, test, ngram=13).collect()[0]
+    assert jac.contaminated == 0  # whole-doc jaccard ~ 13/113: invisible
+    assert col.contaminated == 1 and col.first_hit_pos == 100
+
+
+def test_ngram_decontam_plan_is_jvm_with_broadcast(spark):
+    """No Python anywhere; the test window-hash set must broadcast (the
+    train corpus never shuffles strings — windows hash to longs inside
+    the map side, the dup_spans discipline)."""
+    from text_ocr_spark.ops.decontam import decontaminate_ngrams
+
+    train = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    test = train.where(F.col("doc_id") % 13 == 0)
+    df = decontaminate_ngrams(train, test)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "MapInPandas" not in p
+    assert "BatchEvalPython" not in p
+    assert "ArrowEvalPython" not in p
+    assert "BroadcastHashJoin" in p
+    assert "xxhash64" in p

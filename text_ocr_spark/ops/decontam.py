@@ -301,3 +301,74 @@ def decontaminate(
         F.coalesce("test_id", F.lit(-1)).alias("best_test_id"),
         F.coalesce("jaccard", F.lit(0.0)).alias("best_jaccard"),
     )
+
+
+def decontaminate_ngrams(
+    train: DataFrame,
+    test: DataFrame,
+    ngram: int = 13,
+) -> DataFrame:
+    """N-gram-collision decontamination (the GPT-3 appendix-C /
+    PaLM-style rule, distinct from ``decontaminate``'s whole-document
+    jaccard): a train document is flagged iff ANY of its word n-gram
+    windows occurs verbatim anywhere in the test corpus. Reports enough
+    per-doc signal for both published policies — GPT-3's "any collision
+    removes the doc" and PaLM's "high seen-fraction removes the doc".
+
+    -> (doc_id, n_windows, n_hits, hit_frac, first_hit_pos,
+    contaminated) for EVERY train doc: n_windows = total n-gram windows
+    in the doc (0 for NULL/short docs — never contaminated, a window
+    that does not exist cannot collide), n_hits = windows found in the
+    test corpus, hit_frac = n_hits / n_windows rounded to 6 places
+    (0.0 at n_windows = 0), first_hit_pos = token index of the first
+    colliding window (-1 when clean; the span machinery in
+    ops/span_dedup.py turns positions into cut intervals when a caller
+    wants PaLM-style span surgery instead of doc removal),
+    contaminated = (n_hits >= 1).
+
+    Scale shape (train >> test, the production regime): both sides hash
+    windows to 8-byte xxhash64 keys via the SAME ``_windows`` kernel as
+    dup_spans (a 64-bit collision can only over-flag — conservative in
+    the removal direction, and absent at oracle scale where the DuckDB
+    twin matches on window STRINGS). The distinct test-hash set is tiny
+    (n test tokens) and broadcasts; the train window stream LEFT-joins
+    it for a hit flag and collapses in ONE map-side-combined
+    groupBy(doc_id) of long aggregates — the train corpus shuffles one
+    row per document, strings never shuffle, no Python anywhere
+    (plan-gated in tests/test_decontam.py).
+    """
+    from text_ocr_spark.ops.span_dedup import _windows
+
+    wins = _windows(train.select("doc_id", "text"), ngram)
+    th = (
+        _windows(test.select("doc_id", "text"), ngram)
+        .select("h")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        wins.join(F.broadcast(th), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hits"),
+            F.min(F.when(F.col("hit") == 1, F.col("pos"))).alias("fpos"),
+        )
+    )
+    return train.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.when(
+            F.coalesce("n_windows", F.lit(0)) > 0,
+            F.round(
+                F.coalesce("n_hits", F.lit(0))
+                / F.col("n_windows").cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("hit_frac"),
+        F.coalesce("fpos", F.lit(-1)).cast("long").alias("first_hit_pos"),
+        (F.coalesce("n_hits", F.lit(0)) >= 1).cast("int").alias("contaminated"),
+    )
