@@ -106,7 +106,12 @@ def main() -> int:
             times.append(time.time() - t0)
         srt = sorted(times)
         timings[name] = round(srt[0], 3)
-        medians[name] = round(srt[len(srt) // 2], 3)
+        # true median: average the two middle elements at even counts
+        # (srt[n//2] alone is the UPPER middle — biased high on this
+        # ~20%-noise guest, exactly where the field must be unbiased)
+        mid = len(srt) // 2
+        med = srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2
+        medians[name] = round(med, 3)
         all_passes[name] = [round(t, 3) for t in times]
         if isinstance(result, dict):
             extra.update(result)

@@ -277,3 +277,21 @@ def test_c4_handles_crlf_documents(spark):
     assert r.n_lines_kept == 3
     assert r.keep_doc == 1
     assert r.clean_text == "\n".join([l1] * 3)
+
+
+def test_c4_handles_tab_edged_lines(spark):
+    """Edge whitespace beyond spaces (tabs, form feeds) must neither
+    defeat the terminal-punctuation rule (trailing tab on a clean
+    line) nor inflate the word count (leading tab adding a phantom ''
+    word): the 4-word line stays dropped and the 5-word tab-wrapped
+    line stays kept."""
+    from text_ocr_spark.ops.cleaning import c4_line_filter
+
+    good = "\talpha beta gamma delta epsilon.\t"   # 5 words, tab-wrapped
+    short = "\tfoo bar baz qux."                    # 4 words + leading tab
+    doc = "\n".join([good, good, good, short])
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    r = c4_line_filter(df).collect()[0]
+    assert r.n_lines_kept == 3          # short line dropped (4 < 5 words)
+    assert r.keep_doc == 1              # trailing tabs don't hide the '.'
+    assert r.clean_text == "\n".join([good] * 3)  # kept lines verbatim

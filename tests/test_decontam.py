@@ -342,3 +342,23 @@ def test_ngram_decontam_plan_is_jvm_with_broadcast(spark):
     assert "ArrowEvalPython" not in p
     assert "BroadcastHashJoin" in p
     assert "xxhash64" in p
+
+
+def test_ngram_decontam_join_routes_agree(spark, monkeypatch):
+    """Forcing the shuffled-join fallback (broadcast limit 0) must not
+    change a single verdict vs the broadcast route."""
+    import text_ocr_spark.ops.decontam as D
+
+    train = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    test = train.where(F.col("doc_id") % 13 == 0)
+    a = sorted(
+        map(tuple, D.decontaminate_ngrams(train, test, ngram=13).collect())
+    )
+    monkeypatch.setattr(D, "NGRAM_BROADCAST_LIMIT", 0)
+    b = sorted(
+        map(tuple, D.decontaminate_ngrams(train, test, ngram=13).collect())
+    )
+    assert a == b
+    assert any(r[5] == 1 for r in a)  # the corpus has real collisions

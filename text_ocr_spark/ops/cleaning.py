@@ -257,9 +257,10 @@ def c4_line_filter(docs: DataFrame) -> DataFrame:
     JVM: one split + higher-order filter + array_join per row, no
     shuffle at all — like sample_stratified this is a zero-exchange
     map-only plan that composes with downstream ops. Terminal-punct and
-    containment checks use substring/locate primitives, NOT regex, so
-    Spark and the DuckDB oracle cannot diverge on alternation
-    semantics.
+    containment checks use substring/locate primitives; the only regex
+    beyond the line split is an explicit-character-class edge trim
+    (DuckDB mirrors it with two-argument trim()) — no alternation over
+    engine-divergent token classes anywhere.
     """
     text = F.coalesce(F.col("text"), F.lit(""))
     # \r?\n, not \n: Spark's trim() strips only spaces, so splitting a
@@ -268,10 +269,21 @@ def c4_line_filter(docs: DataFrame) -> DataFrame:
     # of a perfectly clean doc (and the oracle would agree, so only a
     # CRLF pytest catches it)
     lines = F.split(text, r"\r?\n")
-    t = lambda ln: F.trim(ln)  # noqa: E731
+    # trim the FULL whitespace class, not F.trim (spaces only): a
+    # trailing tab would otherwise defeat the terminal-punct rule for a
+    # clean line, and a leading tab would add a phantom '' word — the
+    # same class of bug the \r?\n split above fixes for CRLF. Word
+    # count filters empties (the lm_tokens idiom) so edge whitespace
+    # can never inflate it.
+    t = lambda ln: F.regexp_replace(  # noqa: E731
+        ln, r"^[ \t\n\f\r]+|[ \t\n\f\r]+$", ""
+    )
+    n_words = lambda ln: F.size(  # noqa: E731
+        F.filter(F.split(t(ln), WS_RE), lambda w: F.length(w) > 0)
+    )
     keep_line = lambda ln: (  # noqa: E731
         F.substring(t(ln), -1, 1).isin(*C4_TERMINALS)
-        & (F.size(F.split(t(ln), WS_RE)) >= C4_MIN_LINE_WORDS)
+        & (n_words(ln) >= C4_MIN_LINE_WORDS)
         & ~F.lower(ln).contains("javascript")
     )
     kept = F.filter(lines, keep_line)

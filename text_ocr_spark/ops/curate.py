@@ -65,6 +65,32 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _md5_draw(seed: int) -> F.Column:
+    """The single-sourced sampling draw: first 8 hex chars of
+    md5(seed || ':' || doc_id) — a pure function of the row key, so
+    membership is identical on every run, any cluster size, any
+    partitioning, with no RNG state to ship."""
+    return F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.lit(str(seed)), F.col("doc_id").cast("string")
+            ).cast("binary")
+        ),
+        1,
+        8,
+    )
+
+
+def _draw_threshold(frac: float) -> str:
+    """floor(frac * 2^32) as 8 lowercase hex chars — lexicographic
+    compare against the draw is order-identical to the numeric compare;
+    frac >= 1.0 uses the sentinel 'g', which sorts above every hex
+    char (keep-all)."""
+    if frac >= 1.0:
+        return "g"
+    return format(max(int(frac * 2**32), 0), "08x")
+
+
 def sample_stratified(
     docs: DataFrame,
     fractions: dict[str, float],
@@ -90,21 +116,8 @@ def sample_stratified(
     no shuffle at all: the sample is a filter, so it composes with
     downstream ops without breaking pushdown.
     """
-    draw = F.substring(
-        F.md5(
-            F.concat_ws(
-                ":", F.lit(str(seed)), F.col("doc_id").cast("string")
-            ).cast("binary")
-        ),
-        1,
-        8,
-    )
-
-    def thr(frac: float) -> str:
-        if frac >= 1.0:
-            return "g"  # sorts above every hex char
-        return format(max(int(frac * 2**32), 0), "08x")
-
+    draw = _md5_draw(seed)
+    thr = _draw_threshold
     keep = F.lit(False)
     for key, frac in sorted(fractions.items()):
         keep = F.when(
@@ -136,21 +149,8 @@ def sample_weighted(
     (ceil(w) elements per row) — still ZERO exchanges; keys absent
     from ``fractions`` drop as in sample_stratified.
     """
-    draw = F.substring(
-        F.md5(
-            F.concat_ws(
-                ":", F.lit(str(seed)), F.col("doc_id").cast("string")
-            ).cast("binary")
-        ),
-        1,
-        8,
-    )
-
-    def thr(frac: float) -> str:
-        if frac >= 1.0:
-            return "g"
-        return format(max(int(frac * 2**32), 0), "08x")
-
+    draw = _md5_draw(seed)
+    thr = _draw_threshold
     n_copies = F.lit(0)
     for key, frac in sorted(fractions.items()):
         base_n = int(frac)
@@ -209,9 +209,13 @@ def pack_shards(
     plain global cumsum.
 
     The corpus is scanned twice (bucket sums, then the join side); pass
-    ``n_tokens_col`` naming a precomputed count column (e.g. from
-    token_stats) so both passes read a long instead of re-tokenizing
-    the text column.
+    ``n_tokens_col`` naming a precomputed count column so both passes
+    read a long instead of re-tokenizing the text column. The column
+    must be a NON-EMPTY-token count (e.g. ``F.size(lm_tokens())`` or a
+    real tokenizer's length) — token_stats' ``n_ws_tokens`` is a raw
+    regexp_count that counts boundary phantoms on whitespace-edged
+    docs, which would inflate budgets relative to the self-computed
+    path below (and to the oracle).
 
     ``shuffle_seed`` switches the layout from doc_id order to a
     DETERMINISTIC pseudo-random permutation — training shards want

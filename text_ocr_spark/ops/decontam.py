@@ -58,6 +58,13 @@ from text_ocr_spark.ops.dedup import DENSE_VOCAB_LIMIT, tokens_col
 #: suites take the inverted-index route.
 DENSE_MAX_TEST_DOCS = 4096
 
+#: decontaminate_ngrams broadcasts the distinct test window-hash set
+#: only below this row count (4M hashes = 32 MB raw, a comfortably
+#: broadcastable relation); above it the hit join falls back to a
+#: plain shuffled left join instead of OOMing the driver with a forced
+#: broadcast of an unbounded eval suite
+NGRAM_BROADCAST_LIMIT = 1 << 22
+
 #: rows of the train-side Arrow batch scored per GEMM chunk: bounds the
 #: per-task numpy working set (chunk x DENSE_MAX_TEST_DOCS int64/f64
 #: temporaries ~ 60 MB) independently of arrow.maxRecordsPerBatch
@@ -330,12 +337,15 @@ def decontaminate_ngrams(
     windows to 8-byte xxhash64 keys via the SAME ``_windows`` kernel as
     dup_spans (a 64-bit collision can only over-flag — conservative in
     the removal direction, and absent at oracle scale where the DuckDB
-    twin matches on window STRINGS). The distinct test-hash set is tiny
-    (n test tokens) and broadcasts; the train window stream LEFT-joins
-    it for a hit flag and collapses in ONE map-side-combined
-    groupBy(doc_id) of long aggregates — the train corpus shuffles one
-    row per document, strings never shuffle, no Python anywhere
-    (plan-gated in tests/test_decontam.py).
+    twin matches on window STRINGS). The distinct test-hash set
+    broadcasts when a bounded small-side probe says it fits
+    (NGRAM_BROADCAST_LIMIT; an oversized eval suite falls back to a
+    shuffled left join instead of a forced-broadcast driver OOM); the
+    train window stream LEFT-joins it for a hit flag and collapses in
+    ONE map-side-combined groupBy(doc_id) of long aggregates — the
+    train corpus shuffles one row per document, strings never shuffle,
+    no Python anywhere (plan-gated in tests/test_decontam.py, both
+    routes differential-tested).
     """
     from text_ocr_spark.ops.span_dedup import _windows
 
@@ -346,8 +356,17 @@ def decontaminate_ngrams(
         .distinct()
         .withColumn("hit", F.lit(1))
     )
+    # broadcast is the production shape (train >> test) but must be
+    # GATED, not forced: a hinted broadcast ignores
+    # autoBroadcastJoinThreshold entirely, so a giant eval suite would
+    # OOM the driver where a shuffled left join just works. The probe
+    # is one bounded driver action over the SMALL side only (the
+    # decontaminate probe discipline — the train corpus is never
+    # touched by it).
+    if th.count() <= NGRAM_BROADCAST_LIMIT:
+        th = F.broadcast(th)
     per_doc = (
-        wins.join(F.broadcast(th), "h", "left")
+        wins.join(th, "h", "left")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_windows"),

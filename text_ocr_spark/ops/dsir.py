@@ -76,11 +76,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from text_ocr_spark.ops.lm import lm_tokens, _bigrams
-
-#: fixed-point scale for log-ratios and Gumbel keys (micro-nats);
-#: shared with ops/lm.py by construction
-LP_SCALE = 1_000_000
+from text_ocr_spark.ops.lm import LP_SCALE, lm_tokens, _bigrams
 
 #: the paper's bucket count (10k hashed n-gram features)
 DEFAULT_BUCKETS = 10_000

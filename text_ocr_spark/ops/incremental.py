@@ -83,11 +83,17 @@ def _index_ngram(spark: SparkSession, path: str, requested: int | None) -> int:
     the stored setting"; an explicit mismatch with the stored setting is
     an ERROR, never a silent recall collapse. Indexes built before the
     meta table existed resolve to the requested value (default 1)."""
+    from pyspark.errors import AnalysisException
+
     try:
         row = spark.read.parquet(f"{path}/meta").first()
         stored = int(row["ngram"]) if row is not None else None
-    except Exception:
-        stored = None  # pre-meta index layout
+    except AnalysisException:
+        # pre-meta index layout (missing meta/ path). ONLY the
+        # missing-path case may fall back: a transient read failure or
+        # corrupt footer swallowed here would skip the mismatch guard
+        # and silently band incompatible signatures.
+        stored = None
     if requested is None:
         return 1 if stored is None else stored
     if stored is not None and stored != requested:
