@@ -99,6 +99,22 @@ def _dsir_select_df(spark, docs):
     return dsir_select(docs, target, k=100)
 
 
+def _semdedup_df(spark):
+    from text_ocr_spark.ops.dedup import semdedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    return semdedup(emb, k=8, iters=1)
+
+
+def _decontaminate_ngrams_df(spark, docs):
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.decontam import decontaminate_ngrams
+
+    test = docs.where(F.col("doc_id") % 13 == 0).select("doc_id", "text")
+    return decontaminate_ngrams(docs, test, ngram=13)
+
+
 def _decontaminate_df(spark, docs, dense=None):
     from pyspark.sql import functions as F
 
@@ -373,6 +389,31 @@ def main() -> int:
             "the corpus — and broadcast back as one row. No Python "
             "anywhere (pytest plan gate).",
             _lm_perplexity_df(spark, docs),
+        ),
+        (
+            "semdedup (within-cell semantic dedup)",
+            "Pairwise work is bounded by the k-means partition: the "
+            "trained centroids broadcast into the assignment, cells "
+            "split into PER-CELL-adaptive ceil(n_c/block_size) xxhash64 "
+            "sub-blocks (the k-row size frame broadcasts), and only "
+            "same-cell sub-block pairs reach the shared GEMM tile "
+            "kernel — one bounded mapInPandas, never an O(n^2) pair "
+            "shuffle. Components resolve with the star-contraction "
+            "machinery; the farthest-from-centroid keep rule is a "
+            "two-pass long-only min + back-join (a min_by over wide "
+            "rows would demote to SortAggregate).",
+            _semdedup_df(spark),
+        ),
+        (
+            "decontaminate_ngrams (n-gram-collision decontamination)",
+            "Both corpora hash windows to xxhash64 longs on the map "
+            "side (strings never shuffle); the distinct test-hash set "
+            "broadcasts under a bounded small-side probe gate (an "
+            "oversized eval suite falls back to a shuffled left join); "
+            "the train corpus collapses in ONE map-side-combined "
+            "groupBy(doc_id) of long aggregates — one row per document "
+            "crosses the wire. No Python anywhere.",
+            _decontaminate_ngrams_df(spark, docs),
         ),
         (
             "dsir_select (DSIR importance resampling)",
