@@ -102,6 +102,35 @@ def test_dsir_matches_pure_python_replay(spark, corpus):
     assert sum(v[3] for v in got.values()) == 10
 
 
+def test_dsir_replay_on_adversarial_corpus(spark):
+    """Replay equality on constructed edge docs the fixture grammar
+    never produces: NULL / empty / whitespace-only / single-token
+    (no bigram) / tab-and-CRLF-edged / unicode / exact-duplicate /
+    case-folding pairs."""
+    from text_ocr_spark.ops.dsir import dsir_select
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, " \t\r\n "),
+        (3, "solo"),
+        (4, "\talpha\tbeta\r\ngamma  alpha\n"),
+        (5, "héllo wörld héllo"),
+        (6, "héllo wörld héllo"),
+        (7, "ALPHA Beta alpha beta"),
+        (8, "alpha beta alpha beta"),
+        (9, "a " * 200),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = docs.where(F.col("doc_id") % 2 == 0)
+    got = {
+        r.doc_id: (r.n_feats, r.logw_micro, r.key_micro, r.selected)
+        for r in dsir_select(docs, target, k=4, n_buckets=B).collect()
+    }
+    want = _replay(rows, [r for r in rows if r[0] % 2 == 0], k=4)
+    assert got == want
+
+
 def test_dsir_prefers_target_like_docs(spark):
     """Docs sharing the target's vocabulary must outweigh disjoint
     ones — the one-line sanity DSIR exists for."""
