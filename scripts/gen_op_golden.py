@@ -278,6 +278,93 @@ def golden_semdedup(emb: pd.DataFrame) -> pd.DataFrame:
 
 
 # --------------------------------------------------------------------------
+# trained quality classifier (spec: ops/quality_clf.py — fixed-point
+# logistic over hashed unigrams, fastText shape)
+# --------------------------------------------------------------------------
+
+QCLF_BUCKETS = 10_000
+QCLF_ITERS = 8
+QCLF_LR = 2.0
+QCLF_SCALE = 1_000_000
+
+
+def _qclf_tokens(text) -> list[str]:
+    import re
+
+    if text is None:
+        return []
+    return [
+        t
+        for t in re.split(r"[ \t\n\f\r]+", str(text).lower().strip())
+        if t
+    ]
+
+
+def _qclf_bucket(tok: str) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % QCLF_BUCKETS
+
+
+def golden_quality_clf(docs: pd.DataFrame) -> pd.DataFrame:
+    """Replay quality_train (pos = doc_id%11==0, neg = the disjoint
+    doc_id%11!=0 & doc_id%3==0 slice) + quality_classify over the full
+    corpus, in pure Python: exact int64 micro weights, per-term
+    _half_up quantization, fixed epochs — the committed twin of the
+    contract entry."""
+    texts = {int(d): t for d, t in zip(docs["doc_id"], docs["text"])}
+    feats = {}
+    for d, t in texts.items():
+        toks = _qclf_tokens(t)
+        c = Counter(_qclf_bucket(tok) for tok in toks)
+        feats[d] = (c, len(toks))
+
+    labeled = []  # (counts, n, y)
+    for d in sorted(texts):
+        if d % 11 == 0:
+            labeled.append((feats[d][0], feats[d][1], 1.0))
+        elif d % 3 == 0:
+            labeled.append((feats[d][0], feats[d][1], 0.0))
+    featured = [(c, n, y) for c, n, y in labeled if n > 0]
+    n_docs = len(featured)
+
+    w: dict[int, int] = {}
+    w0 = 0
+    for _ in range(QCLF_ITERS):
+        gsum: dict[int, int] = {}
+        bias_g = 0
+        for c, n, y in featured:
+            s = sum(cnt * w.get(b, 0) for b, cnt in c.items())
+            z = w0 / QCLF_SCALE + s / (n * float(QCLF_SCALE))
+            sig = 1.0 / (1.0 + math.exp(-z))
+            rq = _half_up((sig - y) * QCLF_SCALE)
+            bias_g += rq
+            for b, cnt in c.items():
+                gsum[b] = gsum.get(b, 0) + _half_up(rq * cnt / n)
+        for b, g in gsum.items():
+            w[b] = w.get(b, 0) - _half_up(QCLF_LR * g / n_docs)
+        w0 -= _half_up(QCLF_LR * bias_g / n_docs)
+
+    rows = []
+    for d in sorted(texts):
+        c, n = feats[d]
+        if n > 0:
+            s = sum(cnt * w.get(b, 0) for b, cnt in c.items())
+            z_micro = w0 + _half_up(s / n)
+        else:
+            z_micro = w0
+        prob = (
+            _half_up(
+                (1.0 / (1.0 + math.exp(-(z_micro / QCLF_SCALE))))
+                * QCLF_SCALE
+            )
+            / QCLF_SCALE
+        )
+        rows.append((d, n, z_micro, prob, int(z_micro >= 0)))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_tokens", "z_micro", "prob", "keep"]
+    )
+
+
+# --------------------------------------------------------------------------
 # vertical (columnar) extraction — E4 transpose route
 # (spec: kernels/pdf.py extract_vertical over fixtures.build_vertical)
 # --------------------------------------------------------------------------
@@ -373,6 +460,17 @@ def main(sfs: list[str]) -> None:
             golden_ivf_train(emb),
             pa.schema([("vec_id", pa.int64()), ("centroid_id", pa.int32())]),
             f"fixturedata/golden_ivf_train_{sf}.parquet",
+        )
+        _write(
+            golden_quality_clf(docs),
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+                    ("z_micro", pa.int64()), ("prob", pa.float64()),
+                    ("keep", pa.int32()),
+                ]
+            ),
+            f"fixturedata/golden_quality_clf_{sf}.parquet",
         )
         _write(
             golden_semdedup(emb),

@@ -164,4 +164,9 @@ def test_registry_head_covers_every_family():
         # in-window dup_spans' single-sourced window kernel; exact
         # oracle + pytests in tests/test_decontam.py
         "decontaminate_ngrams",
+        # r4 fourth-pass tail addition: trained quality classifier —
+        # the dsir rows' hashed-feature idiom + ivf_train's fixed-point
+        # training discipline + the in-window dsir_select scoring
+        # shape; committed-golden oracle + tests/test_quality_clf.py
+        "quality_classify",
     }
