@@ -99,6 +99,18 @@ def _dsir_select_df(spark, docs):
     return dsir_select(docs, target, k=100)
 
 
+def _quality_classify_df(spark, docs):
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.quality_clf import quality_classify, quality_train
+
+    pos = docs.where(F.col("doc_id") % 11 == 0).select("doc_id", "text")
+    neg = docs.where(
+        (F.col("doc_id") % 11 != 0) & (F.col("doc_id") % 3 == 0)
+    ).select("doc_id", "text")
+    return quality_classify(docs, quality_train(pos, neg, iters=1))
+
+
 def _semdedup_df(spark):
     from text_ocr_spark.ops.dedup import semdedup
 
@@ -389,6 +401,19 @@ def main() -> int:
             "the corpus — and broadcast back as one row. No Python "
             "anywhere (pytest plan gate).",
             _lm_perplexity_df(spark, docs),
+        ),
+        (
+            "quality_classify (trained quality filter, corpus pass)",
+            "The 100 TB path of the trained classifier: ONE tokenize "
+            "pass — the occurrence stream LEFT-joins the broadcast "
+            "<= B+1-row weight table so the token count and the weight "
+            "sum share a single map-side-combined groupBy(doc_id) (a "
+            "second occurrence pass would re-explode the corpus — the "
+            "dsir lesson); keep is an exact integer comparison "
+            "(z_micro >= 0), so the verdict never touches exp(). "
+            "Training (not shown) runs over bounded localCheckpoint-ed "
+            "labeled samples; the driver holds B+1 int64 weights.",
+            _quality_classify_df(spark, docs),
         ),
         (
             "semdedup (within-cell semantic dedup)",
