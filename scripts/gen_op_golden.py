@@ -365,6 +365,83 @@ def golden_quality_clf(docs: pd.DataFrame) -> pd.DataFrame:
 
 
 # --------------------------------------------------------------------------
+# learned BPE tokenizer (spec: ops/bpe.py — Sennrich merges over the
+# word-frequency dictionary, then per-word encoding)
+# --------------------------------------------------------------------------
+
+BPE_MERGES = 40
+
+
+def _bpe_merge_seq(syms: list, a: str, b: str) -> list:
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def golden_bpe(docs: pd.DataFrame) -> pd.DataFrame:
+    """Independent replay of bpe_train (full dictionary — the fixture
+    vocab is tiny, far under max_words) + bpe_tokenize: Sennrich merge
+    loop over word frequencies (max count, lexicographic tie), greedy
+    left-to-right pair merging, lowest-rank-first encoding. Tokens are
+    joined by single spaces for the hash compare (BPE symbols never
+    contain spaces). No imports from the implementation."""
+    wc = Counter()
+    for t in docs["text"]:
+        wc.update(_qclf_tokens(t))
+
+    vocab: dict[tuple, int] = {}
+    for w, c in wc.items():
+        syms = tuple(list(w[:-1]) + [w[-1] + "</w>"])
+        vocab[syms] = vocab.get(syms, 0) + c
+    merges = []
+    for _ in range(BPE_MERGES):
+        pc: Counter = Counter()
+        for syms, c in vocab.items():
+            for pair in zip(syms, syms[1:]):
+                pc[pair] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        vocab = {
+            tuple(_bpe_merge_seq(list(s), *best)): c
+            for s, c in vocab.items()
+        }
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def encode(w: str) -> list:
+        syms = list(w[:-1]) + [w[-1] + "</w>"]
+        while len(syms) > 1:
+            cand = [
+                (ranks[(x, y)], i)
+                for i, (x, y) in enumerate(zip(syms, syms[1:]))
+                if (x, y) in ranks
+            ]
+            if not cand:
+                break
+            _, i = min(cand)
+            syms[i : i + 2] = [syms[i] + syms[i + 1]]
+        return syms
+
+    rows = []
+    memo: dict[str, list] = {}
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        out = []
+        for w in _qclf_tokens(t):
+            if w not in memo:
+                memo[w] = encode(w)
+            out.extend(memo[w])
+        rows.append((int(d), len(out), " ".join(out)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_bpe", "bpe_joined"])
+
+
+# --------------------------------------------------------------------------
 # vertical (columnar) extraction — E4 transpose route
 # (spec: kernels/pdf.py extract_vertical over fixtures.build_vertical)
 # --------------------------------------------------------------------------
@@ -460,6 +537,16 @@ def main(sfs: list[str]) -> None:
             golden_ivf_train(emb),
             pa.schema([("vec_id", pa.int64()), ("centroid_id", pa.int32())]),
             f"fixturedata/golden_ivf_train_{sf}.parquet",
+        )
+        _write(
+            golden_bpe(docs),
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()), ("n_bpe", pa.int64()),
+                    ("bpe_joined", pa.string()),
+                ]
+            ),
+            f"fixturedata/golden_bpe_{sf}.parquet",
         )
         _write(
             golden_quality_clf(docs),

@@ -169,4 +169,8 @@ def test_registry_head_covers_every_family():
         # training discipline + the in-window dsir_select scoring
         # shape; committed-golden oracle + tests/test_quality_clf.py
         "quality_classify",
+        # r4 fourth-pass tail addition: learned BPE tokenizer — the
+        # real-tokenizer sibling of in-window token_stats' BPE-ish
+        # regex count; independent-replay oracle + tests/test_bpe.py
+        "bpe_tokenize",
     }
