@@ -99,6 +99,12 @@ def _dsir_select_df(spark, docs):
     return dsir_select(docs, target, k=100)
 
 
+def _bpe_tokenize_df(spark, docs):
+    from text_ocr_spark.ops.bpe import bpe_tokenize, bpe_train
+
+    return bpe_tokenize(docs, bpe_train(docs, n_merges=40))
+
+
 def _quality_classify_df(spark, docs):
     from pyspark.sql import functions as F
 
@@ -401,6 +407,18 @@ def main() -> int:
             "the corpus — and broadcast back as one row. No Python "
             "anywhere (pytest plan gate).",
             _lm_perplexity_df(spark, docs),
+        ),
+        (
+            "bpe_tokenize (learned BPE, corpus pass)",
+            "Tokenization is a single zero-exchange Arrow stage: the "
+            "learned merge ranks travel in the UDF closure (n_merges "
+            "entries) and per-word encodings memoize per batch. "
+            "Training (not shown) touches the corpus exactly once — a "
+            "map-side-combined word-count aggregate cut by "
+            "TakeOrderedAndProject — and runs the Sennrich merge loop "
+            "driver-side over the bounded dictionary, as every "
+            "production trainer does.",
+            _bpe_tokenize_df(spark, docs),
         ),
         (
             "quality_classify (trained quality filter, corpus pass)",
