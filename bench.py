@@ -43,6 +43,50 @@ import os
 import sys
 import time
 
+# Host-health sentinel (VERDICT r4 item 2): BENCH_r04.json shipped a
+# degraded-hypervisor window as the round's headline (untouched control
+# queries read 2.9x r3 with zero code change). The sentinel is a FIXED
+# synthetic workload — pure Spark, independent of any graded op's code,
+# so it can only move when the host moves. It runs best-of-3 right
+# after warmup (control_pre) and again after the last timed query
+# (control_post); either reading >1.5x the committed reference
+# (BENCH/control_ref.json, regenerate with scripts/gen_control_ref.py
+# on an idle host) marks the whole record host_degraded=true.
+CONTROL_TOLERANCE = 1.5
+
+
+def control_probe(spark) -> float:
+    """Best-of-3 seconds for a fixed CPU+shuffle workload."""
+    from pyspark.sql import functions as F
+
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        (
+            spark.range(30_000_000)
+            .select((F.col("id") % 9973).alias("k"), F.col("id"))
+            .groupBy("k")
+            .agg(F.sum("id").alias("s"), F.count("*").alias("n"))
+            .select(F.sum(F.col("s") % F.col("n")))
+            .collect()
+        )
+        times.append(time.time() - t0)
+    return round(min(times), 3)
+
+
+def load_control_ref(cpus: int) -> float | None:
+    ref_path = os.path.join(os.path.dirname(__file__), "BENCH", "control_ref.json")
+    try:
+        with open(ref_path) as f:
+            ref = json.load(f)
+    except (OSError, ValueError):
+        return None
+    # the reference is host-shape-specific: only comparable at the same
+    # core count it was committed for
+    if ref.get("cpus") != cpus:
+        return None
+    return float(ref["control_sec"])
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -87,6 +131,9 @@ def main() -> int:
     # one un-replicated pass primes scan/codegen/AQE codepaths so timed
     # queries report steady-state throughput (extract_job does the same)
     extract_corpus(spark, sf_dir, repeat=1, num_partitions=partitions).count()
+
+    control_ref = load_control_ref(cpus)
+    control_pre = control_probe(spark)
 
     passes = max(1, int(os.environ.get("SPARK_GRAFT_PASSES", "3")))
     timings: dict[str, float] = {}
@@ -191,6 +238,21 @@ def main() -> int:
     finally:
         shutil.rmtree(dup_root, ignore_errors=True)
 
+    control_post = control_probe(spark)
+    control_measured = max(control_pre, control_post)
+    host_degraded = (
+        control_ref is not None
+        and control_measured > CONTROL_TOLERANCE * control_ref
+    )
+    if host_degraded:
+        print(
+            f"WARNING: host window degraded — control {control_measured}s "
+            f"(pre {control_pre} / post {control_post}) vs committed ref "
+            f"{control_ref}s x{CONTROL_TOLERANCE}; do not use this record "
+            "for cross-round comparison",
+            file=sys.stderr,
+        )
+
     total = round(sum(timings.values()), 3)
     turns_per_sec = round(extra.get("turns", 0) / max(timings["extract"], 1e-9), 1)
     print(
@@ -208,6 +270,11 @@ def main() -> int:
                 "repeat": repeat,
                 "turns": int(extra.get("turns", 0)),
                 "turns_per_sec": turns_per_sec,
+                "control_ref": control_ref,
+                "control_pre": control_pre,
+                "control_post": control_post,
+                "control_measured": control_measured,
+                "host_degraded": host_degraded,
             }
         )
     )
