@@ -289,14 +289,16 @@ QCLF_SCALE = 1_000_000
 
 
 def _qclf_tokens(text) -> list[str]:
+    # exact Python replay of lm_tokens: WS_RE split + empty filter, NO
+    # .strip() (Python strip removes the full Unicode whitespace class;
+    # Spark trim is spaces-only and the split class covers it) — the
+    # ADVICE r4 cross-engine whitespace discipline
     import re
 
     if text is None:
         return []
     return [
-        t
-        for t in re.split(r"[ \t\n\f\r]+", str(text).lower().strip())
-        if t
+        t for t in re.split(r"[ \t\n\f\r]+", str(text).lower()) if t
     ]
 
 

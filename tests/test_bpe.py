@@ -73,7 +73,7 @@ def test_bpe_tokenize_matches_driver_side_encoding(spark, docs):
     ws = re.compile(r"[ \t\n\f\r]+")
     for r in docs.collect():
         toks = []
-        for w in ws.split((r.text or "").lower().strip()):
+        for w in ws.split((r.text or "").lower()):
             if w:
                 toks.extend(encode_word(w, ranks))
         assert got[r.doc_id] == (toks, len(toks))
@@ -109,6 +109,42 @@ def test_bpe_null_empty_and_saturation(spark):
     assert got[4] == (["aaa</w>", "aaa</w>", "bb</w>"], 3)
     # the merge loop stops when no pairs remain (never pads to n_merges)
     assert merges.count() < 100
+
+
+def test_bpe_unicode_whitespace_matches_lm_tokens(spark):
+    """ADVICE r4 regression: train/apply tokenizer symmetry on the full
+    Unicode whitespace class. lm_tokens (which feeds bpe_train) splits
+    ONLY on [ \\t\\n\\f\\r]+ — \\x0b, \\xa0, \\u2028 are word bytes,
+    not separators — so the Arrow apply kernel must emit exactly the
+    words the vocabulary was trained on (no Python .strip())."""
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.bpe import bpe_tokenize, bpe_train
+    from text_ocr_spark.ops.lm import lm_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "\x0bab \xa0ab ab  ab"),
+            (2, "\x0bab\t\xa0ab"),
+            (3, "plain words here"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(df, n_merges=50)
+    got = {
+        r.doc_id: list(r.bpe_tokens)
+        for r in bpe_tokenize(df, merges).collect()
+    }
+    want = {
+        r.doc_id: ["".join(w) + "</w>" for w in r.toks]
+        for r in df.select(
+            "doc_id", lm_tokens().alias("toks")
+        ).collect()
+    }
+    # at saturation every trained word encodes to one symbol, so the
+    # apply stream equals the training token stream verbatim
+    for d in want:
+        assert got[d] == want[d], (d, got[d], want[d])
 
 
 def test_bpe_counts_feed_pack_shards(spark, docs):

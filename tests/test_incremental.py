@@ -619,3 +619,58 @@ def test_index_ngram_metadata(spark, docs):
     adopted = _verdicts(incremental_resolve(spark, delta, tmp))  # None
     explicit = _verdicts(incremental_resolve(spark, delta, tmp, ngram=3))
     assert adopted == explicit and len(adopted) > 0
+
+
+def test_compact_crash_between_renames_self_heals(spark):
+    """ADVICE r4 regression: a compaction that crashed between
+    _swap_dir's two renames (live groups/ gone, only groups.old left)
+    must self-heal on the next index touch — resolve works, and a
+    re-run compaction completes — instead of failing until a human
+    restores the backup."""
+    import os
+    import shutil
+
+    from text_ocr_spark.ops.incremental import (
+        build_neardup_index,
+        compact_index,
+        incremental_resolve,
+        update_index,
+    )
+
+    wave_a = [(10, OLD_A1), (40, OLD_B1)]
+    wave_b = [(70, BRIDGE)]
+    probe = [(81, _w(0, 38, "x1"))]
+
+    tmp = tempfile.mkdtemp(prefix="inc_crash_heal_")
+    try:
+        build_neardup_index(_mini_corpus(spark, wave_a), tmp, threshold=THRESH)
+        update_index(spark, _mini_corpus(spark, wave_b), tmp, threshold=THRESH)
+
+        # stage the exact on-disk state of a crash between the renames:
+        # the rewritten tmp exists, live was renamed to .old, live gone
+        live = f"{tmp}/groups"
+        shutil.copytree(live, live + ".compact")
+        os.rename(live, live + ".old")
+        assert not os.path.exists(live)
+
+        v = _verdicts(
+            incremental_resolve(
+                spark, _mini_corpus(spark, probe), tmp, threshold=THRESH
+            )
+        )
+        assert v[81][0] == 10  # healed read sees the bridge component
+        assert os.path.exists(live) and not os.path.exists(live + ".old")
+
+        # and the re-run compaction completes over the healed index
+        compact_index(spark, tmp)
+        assert spark.read.parquet(f"{tmp}/merges").count() == 0
+
+        # crash AFTER the second rename (stale backup left behind):
+        # the next touch clears it
+        shutil.copytree(live, live + ".old")
+        incremental_resolve(
+            spark, _mini_corpus(spark, probe), tmp, threshold=THRESH
+        ).count()
+        assert not os.path.exists(live + ".old")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -439,14 +439,16 @@ def test_simhash_rep_banding_sees_one_row_per_group(spark):
 
 
 def test_minhash_auxiliary_actions_bounded(spark, docs, monkeypatch):
-    """Tokenize-once discipline (VERDICT r2 item 5, extended by the r4
-    dup-rate gate): a minhash_dedup CALL triggers at most ONE probe pass
-    as a driver-blocking auxiliary action — the same pass feeds the
-    collapse gate AND the strategy pick — plus the bounded vocab collect
-    only on the small-vocab path. Forcing BOTH decisions (collapse=...,
-    dense_vocab_limit=0) runs zero auxiliary actions. Counted by
-    patching the DataFrame action surface (AQE splits one action into
-    several jobs, so job counts are not the honest unit)."""
+    """Auxiliary-action budget (VERDICT r2 item 5, r4 dup-rate gate,
+    r5 exact probe): a minhash_dedup CALL triggers exactly ONE exact
+    group-stats pass as a driver-blocking auxiliary action — it feeds
+    the collapse gate AND the dense size cap — plus, ONLY when the rep
+    count leaves the dense kernel possible, a vocab HLL pre-filter and
+    (small vocab only) the bounded vocab collect. Forcing BOTH
+    decisions (collapse=..., dense_vocab_limit=0) runs zero auxiliary
+    actions. Counted by patching the DataFrame action surface (AQE
+    splits one action into several jobs, so job counts are not the
+    honest unit)."""
     from text_ocr_spark.ops.dedup import minhash_dedup
 
     cls = type(docs)  # the RUNTIME class (pyspark.sql.classic.DataFrame)
@@ -470,15 +472,16 @@ def test_minhash_auxiliary_actions_bounded(spark, docs, monkeypatch):
     # both decisions forced: zero auxiliary actions
     minhash_dedup(docs, 0.95, dense_vocab_limit=0, collapse=True)
     assert calls == []
-    # forced LSH, adaptive collapse: exactly the one dup-gate probe
+    # forced LSH, adaptive collapse: exactly the one exact-stats probe
     minhash_dedup(docs, 0.95, dense_vocab_limit=0)
     assert len(calls) == 1
     calls.clear()
-    minhash_dedup(docs, 0.95, dense_vocab_limit=4)  # probe says big vocab
-    assert len(calls) == 1
+    # stats + vocab HLL pre-filter (which says big vocab, so no collect)
+    minhash_dedup(docs, 0.95, dense_vocab_limit=4)
+    assert len(calls) == 2
     calls.clear()
     minhash_dedup(docs, 0.95)  # adaptive; dense on this corpus
-    assert len(calls) <= 2
+    assert len(calls) <= 3
 
 
 def test_embed_prefilter_recall_at_many_blocks(spark, emb):
@@ -919,12 +922,11 @@ def test_collapse_gate_null_heavy_corpus(spark, caplog):
 
 
 def test_probe_f2_excess_estimates_hot_pair_mass(spark):
-    """The probe's AMS second-moment sketch estimates
-    sum_g c_g*(c_g-1) — the per-band quadratic candidate-pair mass of
-    exact-dup groups — on BOTH probe branches (forced and tokenized).
-    One 200-copy group among 4000 distinct docs: true excess 39,800,
-    AMS sigma ~0.25*F2 ~= 11k; deterministic per corpus, so the pinned
-    band is stable."""
+    """The probe returns sum_g c_g*(c_g-1) — the per-band quadratic
+    candidate-pair mass of exact-dup groups — EXACTLY (r5: the
+    groupBy(key) probe replaced the AMS sketch), on BOTH probe branches
+    (forced and tokenized). One 200-copy group among 4000 distinct
+    docs: excess 200*199 = 39,800."""
     import pandas as pd
 
     from pyspark.sql import functions as F
@@ -943,8 +945,9 @@ def test_probe_f2_excess_estimates_hot_pair_mass(spark):
     for limit in (0, 4096):  # forced branch, tokenized branch
         _, n_reps, n_docs, f2x = _probe_corpus(_probe_frame(docs), limit)
         assert n_docs == 4200
-        assert 0.3 * true_excess < f2x < 2.5 * true_excess, (limit, f2x)
-    # dup-free control: excess reads ~0 relative to its noise floor
+        assert n_reps == 4001
+        assert f2x == true_excess, (limit, f2x)
+    # dup-free control: excess is exactly 0
     singles = spark.createDataFrame(
         pd.DataFrame(
             {
@@ -953,8 +956,8 @@ def test_probe_f2_excess_estimates_hot_pair_mass(spark):
             }
         )
     )
-    _, _, n_docs, f2x = _probe_corpus(_probe_frame(singles), 0)
-    assert f2x < max(65536, n_docs)  # below the gate's hot floor
+    _, n_reps, n_docs, f2x = _probe_corpus(_probe_frame(singles), 0)
+    assert (n_reps, n_docs, f2x) == (4000, 4000, 0)
 
 
 def test_hot_group_engages_collapse_at_low_dup_rate(spark, caplog):
@@ -1040,3 +1043,67 @@ def test_ivf_trained_recall_on_clustered_corpus(spark):
     r_t = recall(trained)
     assert r_t >= 0.9, (r_p, r_t)
     assert r_t > r_p + 0.2, (r_p, r_t)
+
+
+def test_corpus_stats_carrier_one_probe_per_dag(spark, docs, monkeypatch):
+    """VERDICT r4 item 8: a DAG that runs minhash_dedup +
+    neardup_resolve + simhash_pairs over the same corpus pays the
+    probe ONCE via the CorpusStats carrier — zero further auxiliary
+    driver actions — with outputs identical to the self-probed ops;
+    stats from a different frame or tokenizer are refused."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.dedup import (
+        corpus_stats,
+        minhash_dedup,
+        neardup_resolve,
+        simhash_pairs,
+    )
+
+    want_pairs = sorted(map(tuple, minhash_dedup(docs, 0.95).collect()))
+    want_res = sorted(map(tuple, neardup_resolve(docs, 0.95).collect()))
+    want_sim = sorted(map(tuple, simhash_pairs(docs).collect()))
+
+    stats = corpus_stats(docs)  # the DAG's one probe
+
+    cls = type(docs)
+    calls: list[str] = []
+    depth = {"d": 0}
+    for name in ("first", "head", "take", "collect", "count", "toPandas"):
+        orig = getattr(cls, name)
+
+        def wrap(self, *a, _orig=orig, _name=name, **kw):
+            top = depth["d"] == 0
+            depth["d"] += 1
+            try:
+                return _orig(self, *a, **kw)
+            finally:
+                depth["d"] -= 1
+                if top:
+                    calls.append(_name)
+
+        monkeypatch.setattr(cls, name, wrap)
+
+    got_pairs = minhash_dedup(docs, 0.95, stats=stats)
+    got_sim = simhash_pairs(docs, stats=stats)
+    # plan construction ran zero auxiliary actions (neardup_resolve is
+    # checked for values only below — its star-contraction fixed-point
+    # counters are inherent bounded actions, not probes)
+    assert calls == []
+    monkeypatch.undo()
+
+    got_res = neardup_resolve(docs, 0.95, stats=stats)
+    assert sorted(map(tuple, got_pairs.collect())) == want_pairs
+    assert sorted(map(tuple, got_res.collect())) == want_res
+    assert sorted(map(tuple, got_sim.collect())) == want_sim
+
+    # guard rails: wrong frame, wrong ngram, wrong dense limit
+    other = docs.where(F.col("doc_id") % 2 == 0)
+    with _pytest.raises(ValueError, match="fingerprint"):
+        minhash_dedup(other, 0.95, stats=stats)
+    with _pytest.raises(ValueError, match="ngram"):
+        minhash_dedup(docs, 0.95, ngram=3, stats=stats)
+    with _pytest.raises(ValueError, match="dense_vocab_limit"):
+        minhash_dedup(docs, 0.95, dense_vocab_limit=7, stats=stats)

@@ -273,3 +273,26 @@ def test_quality_clf_classify_plan_one_pass_jvm(spark, corpus):
     # tree form "Generate (n)" — one physical explode node, listed once
     # in the tree (its detail block repeats the name as "(n) Generate")
     assert p.count("Generate (") == 1, p
+
+
+def test_quality_clf_rejects_bad_weight_tables(spark, corpus):
+    """ADVICE r4 regression: the public apply API must refuse a weight
+    table with a missing or duplicated bias row instead of silently
+    emitting zero rows / multiplied rows."""
+    from text_ocr_spark.ops.quality_clf import (
+        quality_classify,
+        quality_train,
+    )
+
+    docs, _ = corpus
+    pos = docs.where(F.col("doc_id") % 11 == 0)
+    neg = docs.where((F.col("doc_id") % 11 != 0) & (F.col("doc_id") % 3 == 0))
+    w = quality_train(pos, neg, n_buckets=B, iters=1)
+
+    no_bias = w.where(F.col("b") != -1)
+    with pytest.raises(ValueError, match="exactly one bias row"):
+        quality_classify(docs, no_bias, n_buckets=B)
+
+    doubled = w.unionByName(w.where(F.col("b") == -1))
+    with pytest.raises(ValueError, match="exactly one bias row"):
+        quality_classify(docs, doubled, n_buckets=B)

@@ -193,8 +193,15 @@ def bpe_tokenize(
                 if t is None:
                     toks_col.append([])
                     continue
+                # NO .strip(): Python's strip removes the full Unicode
+                # whitespace class (\x0b,  ,  ...) at word
+                # edges, but lm_tokens — which feeds bpe_train — only
+                # splits on WS_RE [ \t\n\f\r]+ (Spark trim is
+                # spaces-only, covered by the split class + empty
+                # filter). A word entering the vocabulary as '\x0ba'
+                # must tokenize as '\x0ba' here too (ADVICE r4).
                 out: list[str] = []
-                for w in ws.split(str(t).lower().strip()):
+                for w in ws.split(str(t).lower()):
                     if not w:
                         continue
                     enc = memo.get(w)

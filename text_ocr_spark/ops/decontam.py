@@ -362,8 +362,12 @@ def decontaminate_ngrams(
     # OOM the driver where a shuffled left join just works. The probe
     # is one bounded driver action over the SMALL side only (the
     # decontaminate probe discipline — the train corpus is never
-    # touched by it).
-    if th.count() <= NGRAM_BROADCAST_LIMIT:
+    # touched by it), and it is limit-bounded (ADVICE r4): a full
+    # th.count() would run the whole distinct shuffle job solely to
+    # pick the join strategy; limit(LIMIT+1) lets Spark stop as soon
+    # as the set is provably too big, and the decision
+    # (count <= LIMIT  <=>  probe <= LIMIT) is unchanged.
+    if th.limit(NGRAM_BROADCAST_LIMIT + 1).count() <= NGRAM_BROADCAST_LIMIT:
         th = F.broadcast(th)
     per_doc = (
         wins.join(th, "h", "left")

@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import hashlib
 from collections.abc import Iterator
+from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
@@ -78,6 +79,22 @@ DENSE_BLOCK = 2048
 #: quadratic — no strategy fixes that; resolve_pairs' cluster output is
 #: the scalable product there.
 DENSE_MAX_DOCS = 8 * DENSE_BLOCK
+
+
+@dataclass(frozen=True)
+class CorpusStats:
+    """One probe's worth of strategy statistics, reusable across the
+    dedup family within a DAG (VERDICT r4 item 8 — see
+    ``corpus_stats``). All counts are exact; ``vocab`` is the sorted
+    exact vocabulary when the dense kernel applies, else None."""
+
+    n_reps: int
+    n_docs: int
+    f2_excess: int
+    vocab: tuple[str, ...] | None
+    ngram: int
+    dense_vocab_limit: int
+    fingerprint: str
 
 
 def _tile_partitions(n_blocks: int, df: DataFrame) -> int:
@@ -265,51 +282,6 @@ def _expand_rep_pairs(
     return cross.unionByName(intra)
 
 
-#: margin on the dense-gate doc-count probe (ADVICE r2): the default-rsd
-#: (0.05) HLL underestimates by >20% with negligible probability, so
-#: comparing n_docs * 1.2 against DENSE_MAX_DOCS cannot admit an
-#: oversized corpus into the quadratic tile kernel. (A tighter
-#: rsd=0.01 probe was tried and rejected: its 2^18-register sketches
-#: made the probe several times slower than the dense kernel itself.)
-_PROBE_MARGIN = 1.2
-
-
-#: relative standard deviation of the probe's rep-count HLL. Requested
-#: 0.01 rounds to HLL++ precision p=14 (2^14 registers, delivered rsd
-#: ~0.0086), making the 0.02 dup-rate gate a ~2.3-sigma decision (see
-#: COLLAPSE_MIN_DUP_RATE). Why not tighter: the aggregate's cost is
-#: ~register-count-proportional and ROW-COUNT-INDEPENDENT (measured at
-#: sf0.1: 0.26 s at the 0.05 default, 0.67 s at 0.01, 2.5 s at 0.005,
-#: identical on 5e3 and 1.2e5 input rows) — a fixed tax every probe
-#: pays, invisible at 100 TB but 1.5x the whole dedup query at bench
-#: scale. 2.3 sigma suffices because Spark's HLL++ is DETERMINISTIC for
-#: a given corpus (fixed hash, no rng): the gate never flips run-to-run;
-#: the sigma budget only bounds, across corpus draws, the chance of a
-#: suboptimal PLAN (output is identical on both paths by the collapse
-#: algebra).
-_REP_PROBE_RSD = 0.01
-
-#: number of +-1 sign-sums in the probe's AMS second-moment sketch.
-#: Each is a single-long codegen SUM (nothing like the HLL's fixed
-#: register tax above); estimator rsd ~ sqrt(2/t) = 0.25 at t=32.
-_AMS_SKETCHES = 32
-
-
-def _ams_sign(j: int) -> F.Column:
-    """Deterministic +-1 sign hash for AMS sketch row ``j`` (seeded by
-    hashing the probe key together with the sketch index)."""
-    return F.xxhash64(F.col("key"), F.lit(j)).bitwiseAND(F.lit(1)) * 2 - 1
-
-
-def _f2_excess(row, n_in_sums: int) -> int:
-    """AMS estimate of sum_g c_g*(c_g-1) over exact-dup groups — the
-    per-band quadratic candidate-pair mass — from the probe row's t
-    sign-sums: E[z_j^2] = F2 = sum_g c_g^2, and singletons contribute
-    exactly their own count, so mean(z^2) - n is the excess."""
-    z2 = [int(row[f"z{j}"] or 0) ** 2 for j in range(_AMS_SKETCHES)]
-    return max(0, round(sum(z2) / len(z2)) - n_in_sums)
-
-
 def _probe_frame(
     docs: DataFrame, ngram: int = 1, key_col: F.Column | None = None
 ) -> DataFrame:
@@ -342,66 +314,55 @@ def _probe_frame(
 def _probe_corpus(
     probe_df: DataFrame, dense_vocab_limit: int
 ) -> tuple[list[str] | None, int, int, int]:
-    """ONE aggregate pass probes the vocabulary size, the distinct-text
-    (representative) count, the doc count, and the exact-dup hot-pair
-    mass over a ``_probe_frame`` projection. Returns
-    (vocab, n_reps_est, n_docs_exact, f2_excess_est); vocab is the
-    sorted exact vocabulary when the dense strategy applies — small
-    vocab AND margin-adjusted rep count within DENSE_MAX_DOCS (the tile
-    kernel is quadratic in docs, so a big small-vocab corpus must NOT
-    take it, ADVICE r1/r2) — else None.
+    """Probe the corpus stats that pick the physical strategy. Returns
+    (vocab, n_reps, n_docs, f2_excess); vocab is the sorted exact
+    vocabulary when the dense strategy applies — small vocab AND rep
+    count within DENSE_MAX_DOCS (the tile kernel is quadratic in docs,
+    so a big small-vocab corpus must NOT take it, ADVICE r1/r2) — else
+    None.
 
-    Probe accounting (review finding r4 — the gate must out-resolve its
-    own estimator noise): n_docs is EXACT (a count, not an HLL); n_reps
-    is a tight rsd~0.0086 HLL taken over one row per doc (the pos==0
-    slice of the exploded frame, so tokenized and untokenized callers
-    pay the same sketch), with null-toks docs added exactly (each is
-    its own singleton rep by the sentinel key); f2_excess is the AMS
-    second-moment estimate of sum_g c_g*(c_g-1) over exact-dup groups
-    (singletons — including every null-text doc, whose sentinel key is
-    unique — contribute exactly 0, so excluding the null rows from the
-    sign-sums is exact, not an approximation). With
-    ``dense_vocab_limit <= 0`` (forced-route callers) the pass skips
-    tokenization entirely: count + key-HLL + sign-sums over the
-    un-exploded frame (Catalyst prunes the unused toks column)."""
-    if dense_vocab_limit <= 0:
-        row = probe_df.agg(
-            F.count("*").alias("n_docs"),
-            F.approx_count_distinct("key", _REP_PROBE_RSD).alias("n_reps"),
-            *[F.sum(_ams_sign(j)).alias(f"z{j}") for j in range(_AMS_SKETCHES)],
-        ).first()
-        n_docs = int(row["n_docs"])
-        return None, int(row["n_reps"]), n_docs, _f2_excess(row, n_docs)
-    tok = probe_df.select(
-        "doc_id", "key", F.posexplode_outer("toks").alias("pos", "w")
-    )
-    first = F.col("pos") == 0  # exactly one row per non-null-toks doc
-    probe = tok.agg(
-        F.approx_count_distinct("w").alias("n_vocab"),
-        F.approx_count_distinct(
-            F.when(first, F.col("key")), _REP_PROBE_RSD
-        ).alias("n_reps"),
-        F.sum(first.cast("long")).alias("n_docs"),
-        F.sum(F.col("pos").isNull().cast("long")).alias("n_null"),
-        *[
-            F.sum(F.when(first, _ams_sign(j))).alias(f"z{j}")
-            for j in range(_AMS_SKETCHES)
-        ],
+    All three counts are EXACT (r5, VERDICT r4 item 3): one
+    ``groupBy(key)`` pass yields the rep count, the doc count, and the
+    hot-pair mass sum_g c_g*(c_g-1) as three map-side-combined long
+    sums over the group sizes. This replaced the r4 estimator pair
+    (tight-rsd HLL + 32-row AMS sketch): their row-count-INDEPENDENT
+    fixed tax (~1.4 s, the dominant cost of the whole dedup query at
+    bench scale, measured) bought only ~2.3-sigma decisions plus a
+    margin analysis, while the exact pass costs ~0.2 s at bench scale
+    and shuffles at most one map-side-combined (key, count) long pair
+    per doc — strictly less than the banding it gates (32 band rows
+    per doc), so it is scale-sane at 100 TB. Singleton keys (including
+    every null-text doc, whose sentinel key is unique) contribute
+    exactly 0 to the mass. The unused ``toks`` column is pruned by
+    Catalyst, so forced-route callers (``dense_vocab_limit <= 0``) pay
+    no tokenization.
+
+    The vocabulary check (dense routing only) stays a second, bounded
+    job gated to run ONLY when the rep count allows the dense kernel
+    at all: a default-rsd HLL pre-filter over the exploded tokens
+    (per-row cost, no register tax), then a limit-bounded distinct
+    collect that caps driver memory even if the HLL underestimated."""
+    grp = probe_df.groupBy("key").agg(F.count("*").alias("c"))
+    row = grp.agg(
+        F.count("*").alias("n_reps"),
+        F.sum("c").alias("n_docs"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("f2x"),
     ).first()
-    n_null = int(probe["n_null"] or 0)
-    n_reps = int(probe["n_reps"]) + n_null
-    n_nonnull = int(probe["n_docs"] or 0)
-    n_docs = n_nonnull + n_null
-    f2x = _f2_excess(probe, n_nonnull)
+    n_reps = int(row["n_reps"] or 0)
+    n_docs = int(row["n_docs"] or 0)
+    f2x = int(row["f2x"] or 0)
+    if dense_vocab_limit <= 0 or n_reps > DENSE_MAX_DOCS:
+        # dense routing impossible or not requested: never touch tokens
+        return None, n_reps, n_docs, f2x
+    tok = probe_df.select(F.explode_outer("toks").alias("w"))
     if (
-        probe["n_vocab"] > dense_vocab_limit
-        or n_reps * _PROBE_MARGIN > DENSE_MAX_DOCS
+        tok.agg(F.approx_count_distinct("w")).first()[0]
+        > dense_vocab_limit
     ):
         return None, n_reps, n_docs, f2x
-    # limit bounds driver memory even if the probe underestimated
+    # limit bounds driver memory even if the HLL underestimated
     rows = (
-        tok.select("w")
-        .where(F.col("w").isNotNull())
+        tok.where(F.col("w").isNotNull())
         .distinct()
         .limit(dense_vocab_limit + 1)
         .collect()
@@ -416,6 +377,7 @@ def jaccard_pairs(
     threshold: float = 0.95,
     dense_vocab_limit: int = DENSE_VOCAB_LIMIT,
     ngram: int = 1,
+    stats: "CorpusStats | None" = None,
 ) -> DataFrame:
     """Exact token-set jaccard pairs (doc_a < doc_b, jaccard >= threshold).
 
@@ -428,7 +390,18 @@ def jaccard_pairs(
     collapse here), so the probe key is doc_id itself.
     """
     toks_df = _toks_of(docs, ngram)
-    if dense_vocab_limit > 0:  # no dup gate here — skip the probe when forced
+    if stats is not None:
+        # canonical (text-hash-keyed) stats: the dense cap here keys on
+        # the FULL doc count (no collapse in this op), which the
+        # carrier holds exactly
+        vocab, _, n_docs, _f2 = _use_stats(
+            stats, docs, ngram, dense_vocab_limit, "jaccard_pairs"
+        )
+        if vocab is not None and n_docs <= DENSE_MAX_DOCS:
+            return _dense_jaccard_pairs(
+                docs, threshold, vocab, n_docs, toks=toks_df
+            )
+    elif dense_vocab_limit > 0:  # no dup gate — skip the probe when forced
         vocab, _, n_docs, _f2 = _probe_corpus(
             _probe_frame(docs, ngram, key_col=F.col("doc_id")),
             dense_vocab_limit,
@@ -679,43 +652,33 @@ def _dense_jaccard_pairs(
     ).select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-#: estimated exact-dup rate below which the representative collapse is
-#: skipped (VERDICT r3 item 1): the collapse's rep semi-join + two
+#: exact-dup rate below which the representative collapse is skipped
+#: (VERDICT r3 item 1): the collapse's rep semi-join + two
 #: membership-expansion joins cost ~5 exchange stages per query — pure
 #: overhead on a corpus with ~no exact duplicates, where banding the raw
 #: corpus is provably output-identical (the r3 equivalence proof holds
 #: in both directions at ANY dup rate — the collapse is a physical
-#: optimization, never a semantic one, so gating on a noisy estimate
-#: cannot change the output, only the plan).
+#: optimization, never a semantic one, so the gate can only change the
+#: plan, never the output).
 #:
-#: Noise accounting (review finding r4): the estimate is
-#: 1 - n_reps/n_docs with n_docs EXACT and n_reps an rsd~0.0086 HLL
-#: (p=14 — see _REP_PROBE_RSD for why tighter sketches are a bad trade),
-#: so the 0.02 threshold is a ~2.3-sigma decision: across corpus draws,
-#: a dup-free corpus mis-engages the collapse with probability ~1% (the
-#: safe direction: constant overhead, not a hazard) and any corpus at
-#: >= 4% true dup rate engages at >= 2.3 sigma; for a FIXED corpus the
-#: sketch is deterministic, so whichever plan the gate picks, it picks
-#: it every run.
+#: Since r5 both gate statistics are EXACT (the probe's groupBy(key)
+#: pass — see _probe_corpus), so there is no estimator-noise analysis
+#: left: the rate is 1 - n_reps/n_docs with both counts exact, and the
+#: gate decision is a deterministic function of the corpus.
 #:
 #: Mega-group blind spot — CLOSED by the second gate statistic: a RATE
 #: gate alone cannot see one giant exact-dup group inside an
 #: otherwise-distinct corpus (10^6 copies in 10^10 docs is rate 0.01%,
 #: yet its band bucket is O(k^2) = 10^12 candidate pairs in ONE task).
-#: The probe therefore also carries an AMS second-moment sketch whose
-#: estimate f2_excess ~= sum_g c_g*(c_g-1) IS the per-band quadratic
+#: The probe therefore also returns the EXACT hot-pair mass
+#: f2_excess = sum_g c_g*(c_g-1) — precisely the per-band quadratic
 #: candidate-pair mass the collapse eliminates; the gate engages when
 #: it clears max(COLLAPSE_HOT_PAIR_MASS, n_docs). The n_docs term is
-#: noise calibration (AMS rsd ~ sqrt(2/32) = 0.25, so a dup-free corpus
-#: reads excess ~ +-0.25*n — the threshold sits 4 sigma above it), and
-#: it is also the right physical floor: it fires exactly for groups
-#: k >~ sqrt(n), whose single bucket rivals the entire rest of the
-#: shuffle. Calibrated residual: groups between ~sqrt(hazard-floor) and
-#: ~sqrt(n) are undetectable by ANY bounded-memory one-pass rate/moment
-#: probe at this cost, but their buckets are bounded by ~n candidate
-#: rows (corpus-order work, not unbounded k^2) and AQE skew-split
-#: absorbs them; pipelines that KNOW their skew can still force
-#: collapse=True.
+#: the physical floor: it fires exactly for groups k >~ sqrt(n), whose
+#: single bucket rivals the entire rest of the shuffle; smaller groups'
+#: buckets are bounded by ~n candidate rows (corpus-order work, not
+#: unbounded k^2) and AQE skew-split absorbs them; pipelines that KNOW
+#: their skew can still force collapse=True.
 COLLAPSE_MIN_DUP_RATE = 0.02
 
 #: absolute floor of the hot-pair-mass gate: ~2^16 candidate pairs per
@@ -726,11 +689,12 @@ COLLAPSE_HOT_PAIR_MASS = 1 << 16
 
 def _gate_collapse(n_reps: int, n_docs: int, f2_excess: int, op: str) -> bool:
     """Two-statistic collapse gate shared by minhash/simhash/resolve:
-    collapse iff the estimated exact-dup RATE clears
-    COLLAPSE_MIN_DUP_RATE, OR the estimated hot-pair MASS (AMS f2
-    excess — catches a single mega-group hiding at a tiny rate) clears
-    max(COLLAPSE_HOT_PAIR_MASS, n_docs). Logged either way a skip or a
-    mass-triggered engage happens (no silent strategy change)."""
+    collapse iff the exact dup RATE clears COLLAPSE_MIN_DUP_RATE, OR
+    the exact hot-pair MASS (f2 excess — catches a single mega-group
+    hiding at a tiny rate) clears max(COLLAPSE_HOT_PAIR_MASS, n_docs).
+    Both statistics are exact since the r5 probe rewrite. Logged either
+    way a skip or a mass-triggered engage happens (no silent strategy
+    change)."""
     import logging
 
     dup_rate = 1.0 - n_reps / n_docs if n_docs else 0.0
@@ -739,8 +703,8 @@ def _gate_collapse(n_reps: int, n_docs: int, f2_excess: int, op: str) -> bool:
         return True
     if f2_excess >= hot_floor:
         logging.getLogger(__name__).info(
-            "%s: exact-dup collapse ENGAGED by hot-pair mass (estimated "
-            "excess %d >= %d) despite low dup rate %.4f — a mega-group "
+            "%s: exact-dup collapse ENGAGED by hot-pair mass (excess "
+            "%d >= %d) despite low dup rate %.4f — a mega-group "
             "band bucket would be quadratic",
             op,
             f2_excess,
@@ -749,7 +713,7 @@ def _gate_collapse(n_reps: int, n_docs: int, f2_excess: int, op: str) -> bool:
         )
         return True
     logging.getLogger(__name__).info(
-        "%s: exact-dup collapse SKIPPED (estimated dup rate %.4f < %s, "
+        "%s: exact-dup collapse SKIPPED (dup rate %.4f < %s, "
         "hot-pair mass %d < %d; %d reps / %d docs) — banding the raw "
         "corpus, output identical",
         op,
@@ -794,7 +758,7 @@ def _rep_neardup_pairs(
         )
         strategy = (vocab, n_reps)
     vocab, n_base = strategy
-    if vocab is not None and n_base * _PROBE_MARGIN <= DENSE_MAX_DOCS:
+    if vocab is not None and n_base <= DENSE_MAX_DOCS:
         return _dense_jaccard_pairs(base, threshold, vocab, n_base, toks=toks_df)
     cand = _band_candidates(toks_df)
     ta = toks_df.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
@@ -804,6 +768,77 @@ def _rep_neardup_pairs(
     )
 
 
+def corpus_stats(
+    docs: DataFrame,
+    ngram: int = 1,
+    dense_vocab_limit: int = DENSE_VOCAB_LIMIT,
+) -> "CorpusStats":
+    """Run the strategy probe ONCE and return a reusable carrier
+    (VERDICT r4 item 8): a curation DAG that calls several dedup-family
+    ops on the same corpus (``minhash_dedup`` + ``neardup_resolve`` +
+    ``simhash_pairs``...) passes the result as ``stats=`` so the probe
+    executes once per DAG instead of once per op. The carrier records
+    an expression-id-normalized digest of the input's analyzed plan;
+    every consumer validates it (plus the tokenizer ngram) and raises
+    on mismatch rather than silently using stats from a different
+    corpus."""
+    vocab, n_reps, n_docs, f2x = _probe_corpus(
+        _probe_frame(docs, ngram), dense_vocab_limit
+    )
+    return CorpusStats(
+        n_reps=n_reps,
+        n_docs=n_docs,
+        f2_excess=f2x,
+        vocab=tuple(vocab) if vocab is not None else None,
+        ngram=ngram,
+        dense_vocab_limit=dense_vocab_limit,
+        fingerprint=_plan_fingerprint(docs),
+    )
+
+
+def _plan_fingerprint(df: DataFrame) -> str:
+    """Input-identity digest for CorpusStats validation: md5 of the
+    analyzed logical plan with expression ids (#123 — fresh per
+    invocation) normalized away. No data is scanned; two frames with
+    the same lineage shape agree, a different source/filter/projection
+    disagrees. Conservative by construction: a false mismatch costs
+    one re-probe, a false match cannot occur for frames that read
+    different inputs."""
+    import re
+
+    s = df._jdf.queryExecution().analyzed().toString()
+    return hashlib.md5(re.sub(r"#\d+", "#", s).encode()).hexdigest()
+
+
+def _use_stats(
+    stats: "CorpusStats", docs: DataFrame, ngram: int, dense_vocab_limit: int, op: str
+) -> tuple[list[str] | None, int, int, int]:
+    """Validate a caller-supplied CorpusStats against this op's input
+    and parameters, and unpack it in _probe_corpus return shape."""
+    if stats.ngram != ngram:
+        raise ValueError(
+            f"{op}: CorpusStats was probed with ngram={stats.ngram}, "
+            f"but this call tokenizes with ngram={ngram}"
+        )
+    if stats.dense_vocab_limit != dense_vocab_limit:
+        raise ValueError(
+            f"{op}: CorpusStats was probed with dense_vocab_limit="
+            f"{stats.dense_vocab_limit}, but this call uses "
+            f"{dense_vocab_limit} — re-probe with corpus_stats(docs, "
+            f"ngram, {dense_vocab_limit})"
+        )
+    fp = _plan_fingerprint(docs)
+    if stats.fingerprint != fp:
+        raise ValueError(
+            f"{op}: CorpusStats fingerprint does not match this input "
+            "frame — the stats were probed on a different corpus (or a "
+            "differently-shaped plan over it); re-run corpus_stats on "
+            "THIS frame"
+        )
+    vocab = list(stats.vocab) if stats.vocab is not None else None
+    return vocab, stats.n_reps, stats.n_docs, stats.f2_excess
+
+
 def _gated_neardup_pairs(
     docs: DataFrame,
     threshold: float,
@@ -811,13 +846,18 @@ def _gated_neardup_pairs(
     ngram: int,
     collapse: bool | None,
     op: str,
+    stats: "CorpusStats | None" = None,
 ) -> tuple[DataFrame, DataFrame | None, DataFrame | None]:
     """Shared minhash_dedup / neardup_resolve core: one probe pass feeds
     BOTH the dup-rate collapse gate and the dense-vs-LSH strategy pick,
     then the verified pairs run over reps (collapse engaged) or the raw
     corpus (skipped). -> (pairs, reps, members); members is None iff the
     collapse was skipped (pairs are then already doc-level)."""
-    if collapse is not None and dense_vocab_limit <= 0:
+    if stats is not None:
+        vocab, n_reps, n_docs, f2_excess = _use_stats(
+            stats, docs, ngram, dense_vocab_limit, op
+        )
+    elif collapse is not None and dense_vocab_limit <= 0:
         # both decisions forced: no auxiliary action at all
         vocab, n_reps, n_docs, f2_excess = None, 0, 0, 0
     else:
@@ -846,6 +886,7 @@ def minhash_dedup(
     dense_vocab_limit: int = DENSE_VOCAB_LIMIT,
     ngram: int = 1,
     collapse: bool | None = None,
+    stats: CorpusStats | None = None,
 ) -> DataFrame:
     """Near-dup pairs at jaccard >= threshold — representative-collapse
     first (when the dup-rate probe says the corpus has exact dups worth
@@ -856,9 +897,11 @@ def minhash_dedup(
     duplication term lives only in the final membership join, never in
     a band bucket). ``ngram > 1`` dedups on w-shingles instead of token
     sets (order-sensitive, the production near-dup unit). Equals
-    jaccard_pairs on any corpus (pytest-asserted)."""
+    jaccard_pairs on any corpus (pytest-asserted). ``stats`` (from
+    ``corpus_stats`` on the same frame) skips the probe entirely."""
     pairs, _reps, members = _gated_neardup_pairs(
-        docs, threshold, dense_vocab_limit, ngram, collapse, "minhash_dedup"
+        docs, threshold, dense_vocab_limit, ngram, collapse, "minhash_dedup",
+        stats=stats,
     )
     if members is None:
         return pairs
@@ -972,6 +1015,7 @@ def neardup_resolve(
     dense_vocab_limit: int = DENSE_VOCAB_LIMIT,
     ngram: int = 1,
     collapse: bool | None = None,
+    stats: CorpusStats | None = None,
 ) -> DataFrame:
     """Verified rep pairs -> connected components -> keep/drop per doc.
 
@@ -986,7 +1030,8 @@ def neardup_resolve(
     member join degenerates to identity there, so it is elided).
     """
     pairs, reps, members = _gated_neardup_pairs(
-        docs, threshold, dense_vocab_limit, ngram, collapse, "neardup_resolve"
+        docs, threshold, dense_vocab_limit, ngram, collapse,
+        "neardup_resolve", stats=stats,
     )
     if members is None:
         return resolve_pairs(
@@ -1349,7 +1394,10 @@ def _simhash_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 
 def simhash_pairs(
-    docs: DataFrame, radius: int = 3, collapse: bool | None = None
+    docs: DataFrame,
+    radius: int = 3,
+    collapse: bool | None = None,
+    stats: CorpusStats | None = None,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash_a, simhash_b) <= radius.
 
@@ -1359,10 +1407,24 @@ def simhash_pairs(
     the banded join over representatives only: million-copy boilerplate
     contributes ONE row per band, never an O(k^2) hot bucket. The same
     dup-rate gate as minhash_dedup skips the collapse on low-dup
-    corpora (its probe here is a plain count + key-HLL — no
-    tokenization; simhash has no dense route to pick)."""
+    corpora (its probe is the exact group-stats pass — no tokenization;
+    simhash has no dense route to pick). A caller-supplied ``stats``
+    skips the probe; only its counts are used, so any unigram-probed
+    CorpusStats of this frame works regardless of its vocab fields."""
     if collapse is None:
-        _, n_reps, n_docs, f2_excess = _probe_corpus(_probe_frame(docs), 0)
+        if stats is not None:
+            if stats.fingerprint != _plan_fingerprint(docs):
+                raise ValueError(
+                    "simhash_pairs: CorpusStats fingerprint does not "
+                    "match this input frame — re-run corpus_stats"
+                )
+            n_reps, n_docs, f2_excess = (
+                stats.n_reps, stats.n_docs, stats.f2_excess,
+            )
+        else:
+            _, n_reps, n_docs, f2_excess = _probe_corpus(
+                _probe_frame(docs), 0
+            )
         collapse = _gate_collapse(n_reps, n_docs, f2_excess, "simhash_pairs")
     if not collapse:
         return _simhash_rep_pairs(docs, radius)

@@ -64,8 +64,31 @@ from text_ocr_spark.ops.dedup import (
 _PARTS = ("bands", "groups", "reps", "merges")
 
 
+def _heal_swap(live: str) -> None:
+    """Self-heal a crashed ``_swap_dir`` (ADVICE r4): a crash between
+    its two renames leaves ``<live>.old`` holding the only copy of the
+    labels, and every subsequent index read would fail until a human
+    restored it. Restore it automatically; a crash AFTER the second
+    rename (backup not yet removed) degrades to removing the stale
+    backup. A leftover ``<live>.compact`` tmp is inert — the next
+    compaction's overwrite-mode write replaces it."""
+    import os
+    import shutil
+
+    old = live + ".old"
+    if os.path.exists(old):
+        if os.path.exists(live):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, live)
+
+
 def _paths(path: str) -> dict[str, str]:
-    return {p: f"{path}/{p}" for p in _PARTS}
+    p = {part: f"{path}/{part}" for part in _PARTS}
+    # every index entry point resolves paths here first, so a crashed
+    # compaction heals on the next touch instead of breaking all reads
+    _heal_swap(p["groups"])
+    return p
 
 
 def _write_meta(spark: SparkSession, path: str, ngram: int) -> None:
@@ -273,7 +296,9 @@ _WAVE_SHIFT = 32
 
 
 def _epaths(path: str) -> dict[str, str]:
-    return {p: f"{path}/{p}" for p in _EPARTS}
+    p = {part: f"{path}/{part}" for part in _EPARTS}
+    _heal_swap(p["clusters"])
+    return p
 
 
 def _block_col(wave: int, block_size: int, n_vecs: int) -> F.Column:
@@ -731,11 +756,13 @@ def _heal_labels(
 
 def _swap_dir(tmp: str, live: str) -> None:
     """Replace a live parquet directory with its rewritten twin. Plain
-    filesystem renames are NOT transactional (a crash between the two
-    renames loses the live copy until the .old backup is restored by
-    hand) — acceptable for a maintenance op run out-of-band; the real
-    deployment sink is Iceberg, where compaction is one REPLACE
-    transaction (STATUS.md Iceberg note)."""
+    filesystem renames are NOT transactional, but a crash anywhere in
+    the sequence is now recoverable: ``_heal_swap`` (run by every
+    ``_paths``/``_epaths`` call) restores the ``.old`` backup if the
+    live dir is missing and clears a stale backup otherwise, so a
+    crashed compaction degrades to a no-op instead of a broken index
+    (ADVICE r4). The real deployment sink is Iceberg, where compaction
+    is one REPLACE transaction (STATUS.md Iceberg note)."""
     import os
     import shutil
 

@@ -208,9 +208,19 @@ def quality_classify(
     comparison, so the verdict is exact regardless of exp() ulps.
     Zero-token docs score the bias alone.
     """
-    bias = weights.where(F.col("b") == -1).select(
-        F.col("w_micro").alias("w0_micro")
-    )
+    # validate the weight table up front (ADVICE r4): this is the
+    # public apply API, and a missing bias row would otherwise yield
+    # ZERO output rows (crossJoin with empty) while a duplicated one
+    # (e.g. a concatenated weight table) would silently multiply every
+    # row. take(2) is a bounded driver action on the model table.
+    bias_rows = weights.where(F.col("b") == -1).select("w_micro").take(2)
+    if len(bias_rows) != 1:
+        raise ValueError(
+            "quality_classify: weight table must contain exactly one "
+            f"bias row (b == -1); found {len(bias_rows)}"
+            + (" or more" if len(bias_rows) == 2 else "")
+        )
+    w0_micro = int(bias_rows[0][0])
     wtab = weights.where(F.col("b") != -1)
     # ONE corpus tokenize pass: a LEFT join keeps unweighted
     # occurrences (buckets unseen in training score 0 but still count
@@ -227,7 +237,7 @@ def quality_classify(
         )
     )
     z_micro = (
-        F.col("w0_micro")
+        F.lit(w0_micro).cast("long")
         + F.when(
             F.col("n_tokens") > 0,
             F.round(
@@ -239,7 +249,6 @@ def quality_classify(
     return (
         docs.select("doc_id")
         .join(scored, "doc_id", "left")
-        .crossJoin(F.broadcast(bias))
         .select(
             "doc_id",
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
