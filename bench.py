@@ -31,6 +31,10 @@ Queries timed (post-warmup of the Spark session):
                 floor -> first-occurrence dedup in ONE DAG); its
                 single-Arrow-stage plan is re-asserted at bench scale
                 before timing
+- pretrain_pipeline: the full-surface capstone (extract -> gopher gate
+                -> strip dup spans -> minhash dedup verdicts -> 3-gram
+                decontamination -> dsir top-k -> pack_shards, three
+                stage barriers — VERDICT r4 item 4)
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS, SPARK_GRAFT_REPEAT (default
 4), SPARK_GRAFT_PARTITIONS (default 4x cpus).
@@ -235,6 +239,12 @@ def main() -> int:
         timed("q1", lambda: q1_pricing_summary(spark, sf_dir).count())
         timed("token_stats", lambda: token_stats(docs).count())
         timed("curate", lambda: curate_corpus(spark, sf_dir).count())
+        from text_ocr_spark.ops.curate import pretrain_pipeline
+
+        timed(
+            "pretrain_pipeline",
+            lambda: pretrain_pipeline(spark, sf_dir).count(),
+        )
     finally:
         shutil.rmtree(dup_root, ignore_errors=True)
 

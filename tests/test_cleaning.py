@@ -295,3 +295,96 @@ def test_c4_handles_tab_edged_lines(spark):
     assert r.n_lines_kept == 3          # short line dropped (4 < 5 words)
     assert r.keep_doc == 1              # trailing tabs don't hide the '.'
     assert r.clean_text == "\n".join([good] * 3)  # kept lines verbatim
+
+
+def test_gopher_keep_expr_equals_gopher_filter(spark):
+    """The inline gate expression (used by pretrain_pipeline's stage 1
+    as a FILTER) must agree with gopher_filter's keep verdict on every
+    doc, NULLs included."""
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.cleaning import gopher_filter, gopher_keep_expr
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    want = {
+        r.doc_id for r in gopher_filter(docs).where("keep = 1").collect()
+    }
+    got = {
+        r.doc_id
+        for r in docs.select("doc_id", "text").where(gopher_keep_expr()).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_pretrain_pipeline_segment_plans(spark):
+    """Capstone plan gates (VERDICT r4 item 4): each stage segment, as
+    built over the previous stage's barrier, keeps its Arrow-stage and
+    exchange budget — in particular the extraction Arrow stage appears
+    exactly ONCE in the whole pipeline (stage 1), and the
+    selection/packing segment is entirely JVM."""
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.curate import (
+        _pretrain_clean,
+        _pretrain_gate,
+        _pretrain_select_pack,
+        _pretrain_strip,
+    )
+    from text_ocr_spark.plans import count_arrow_stages, count_exchanges
+
+    gate = _pretrain_gate(spark, SF_TINY)
+    assert count_arrow_stages(gate) == 1  # the extraction, fused once
+    assert count_exchanges(gate) <= 2     # the salted exchange
+
+    gated = gate.localCheckpoint(eager=False)
+    strip = _pretrain_strip(gated)
+    assert count_arrow_stages(strip) == 0  # span surgery is pure JVM
+    assert count_exchanges(strip) <= 6
+
+    stripped = strip.localCheckpoint(eager=False)
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    clean = _pretrain_clean(
+        stripped, docs.where("doc_id % 13 = 0").select("doc_id", "text")
+    )
+    # dedup's verified pairs + decontamination's near arm: bounded
+    # Arrow work (the tile/GEMM kernels), never per-row Python
+    assert count_arrow_stages(clean) <= 3
+    assert count_exchanges(clean) <= 32
+    assert "BatchEvalPython" not in _plan(clean)
+
+    cleaned = clean.localCheckpoint(eager=False)
+    final = _pretrain_select_pack(
+        cleaned,
+        docs.where("doc_id % 11 = 0").select("doc_id", "text"),
+        dsir_k=32,
+        max_tokens=512,
+    )
+    assert count_arrow_stages(final) == 0  # selection/packing pure JVM
+    assert count_exchanges(final) <= 32
+
+
+def _plan(df):
+    from text_ocr_spark.plans import plan_str
+
+    return plan_str(df)
+
+
+def test_pretrain_pipeline_deterministic_and_packed(spark):
+    """End-to-end capstone at tiny SF: deterministic across runs and
+    partitioning noise (the barriers are purely physical), shards obey
+    the token-budget contract, selection size = min(k, survivors)."""
+    from text_ocr_spark.ops.curate import pretrain_pipeline
+
+    a = pretrain_pipeline(spark, SF_TINY, dsir_k=64, max_tokens=512)
+    ra = sorted(map(tuple, a.collect()))
+    b = pretrain_pipeline(spark, SF_TINY, dsir_k=64, max_tokens=512)
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and 0 < len(ra) <= 64
+    # shard budget: exclusive prefix sum in doc_id order, so every
+    # shard except possibly the last holds >= 1 doc and crosses the
+    # boundary by at most one doc
+    rows = sorted(ra)
+    cum = 0
+    for doc_id, conv_id, turn_idx, n_tokens, shard_id in rows:
+        assert shard_id == cum // 512
+        cum += n_tokens

@@ -131,6 +131,8 @@ def test_registry_head_covers_every_family():
         # hold driver-window slots
         "semdedup", "decontaminate_ngrams", "quality_classify",
         "bpe_tokenize",
+        # r5: the full-surface capstone (VERDICT r4 item 4)
+        "pretrain_pipeline",
     ):
         assert required in head, required
     assert set(tail) <= {
@@ -175,4 +177,8 @@ def test_registry_head_covers_every_family():
         # (the accepted quality_score demotion argument)
         "events_hourly", "order_status_setop", "top_revenue_customers",
         "doc_fingerprint",
+        # r5 demotion (head slot -> pretrain_pipeline): second
+        # bucketed-ANN variant next to in-window knn_ivf; recall pytest
+        # + retained exact oracle
+        "knn_lsh",
     }

@@ -141,26 +141,13 @@ def dup_frac_stats(col: F.Column) -> tuple[F.Column, F.Column, F.Column]:
     return n, nd, frac
 
 
-def gopher_filter(docs: DataFrame) -> DataFrame:
-    """Gopher-style quality-gate VERDICTS per document — the keep/drop
-    decision the repetition/quality signals exist for (the cleaning
-    twin of dedup's resolve step).
-
-    -> (doc_id, n_tokens, mean_tok_len, n_stop_hits, dup_line_frac,
-        dup_para_frac, fail_tokens, fail_tok_len, fail_stop,
-        fail_dup_line, fail_dup_para, keep)
-
-    ONE pass, pure whole-stage-codegen expressions (same WS_RE / trim /
-    non-empty discipline as repetition_stats and quality_score so the
-    DuckDB oracle agrees byte-for-byte); per-rule fail flags make the
-    verdict auditable. keep = 1 iff no rule fails — including for NULL
-    text (ADVICE r3): NULL propagates through every comparison, so an
-    un-coalesced NULL doc would get NULL flags and NULL keep, and a
-    consumer quarantining keep == 0 would silently pass it. NULL text
-    coalesces to '' up front (1 empty token, 0 chars): fail_tokens and
-    fail_stop fire, keep = 0, every signal column is defined. The
-    oracle applies the same coalesce.
-    """
+def _gopher_signals() -> tuple[F.Column, ...]:
+    """The Gopher rule columns over a ``text`` column — all pure
+    whole-stage-codegen row expressions, shared by ``gopher_filter``
+    (the audit-table op) and ``gopher_keep_expr`` (the inline gate).
+    Returns (n_tok, mean_tok_len, n_stop, dup_line, dup_para,
+    fail_tokens, fail_tok_len, fail_stop, fail_dup_line,
+    fail_dup_para)."""
     text = F.coalesce(F.col("text"), F.lit(""))
     toks = F.split(F.trim(text), WS_RE)
     n_tok = F.size(toks)
@@ -182,6 +169,63 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
     fail_stop = (n_stop < GOPHER_MIN_STOP_HITS).cast("int")
     fail_dup_line = (dup_line > GOPHER_MAX_DUP_LINE_FRAC).cast("int")
     fail_dup_para = (dup_para > GOPHER_MAX_DUP_PARA_FRAC).cast("int")
+    return (
+        n_tok,
+        mean_tok_len,
+        n_stop,
+        dup_line,
+        dup_para,
+        fail_tokens,
+        fail_tok_len,
+        fail_stop,
+        fail_dup_line,
+        fail_dup_para,
+    )
+
+
+def gopher_keep_expr() -> F.Column:
+    """The Gopher keep verdict as ONE boolean row expression over a
+    ``text`` column — lets a pipeline apply the gate as a FILTER on the
+    same row instead of joining ``gopher_filter`` verdicts back (a join
+    arm re-plans the whole upstream subtree; see
+    curate.pretrain_pipeline's plan notes). Pinned equal to
+    gopher_filter.keep by pytest."""
+    (_, _, _, _, _, f1, f2, f3, f4, f5) = _gopher_signals()
+    return (f1 + f2 + f3 + f4 + f5) == 0
+
+
+def gopher_filter(docs: DataFrame) -> DataFrame:
+    """Gopher-style quality-gate VERDICTS per document — the keep/drop
+    decision the repetition/quality signals exist for (the cleaning
+    twin of dedup's resolve step).
+
+    -> (doc_id, n_tokens, mean_tok_len, n_stop_hits, dup_line_frac,
+        dup_para_frac, fail_tokens, fail_tok_len, fail_stop,
+        fail_dup_line, fail_dup_para, keep)
+
+    ONE pass, pure whole-stage-codegen expressions (same WS_RE / trim /
+    non-empty discipline as repetition_stats and quality_score so the
+    DuckDB oracle agrees byte-for-byte); per-rule fail flags make the
+    verdict auditable. keep = 1 iff no rule fails — including for NULL
+    text (ADVICE r3): NULL propagates through every comparison, so an
+    un-coalesced NULL doc would get NULL flags and NULL keep, and a
+    consumer quarantining keep == 0 would silently pass it. NULL text
+    coalesces to '' up front (1 empty token, 0 chars): fail_tokens and
+    fail_stop fire, keep = 0, every signal column is defined. The
+    oracle applies the same coalesce.
+    """
+    (
+        n_tok,
+        mean_tok_len,
+        n_stop,
+        dup_line,
+        dup_para,
+        fail_tokens,
+        fail_tok_len,
+        fail_stop,
+        fail_dup_line,
+        fail_dup_para,
+    ) = _gopher_signals()
     return docs.select(
         "doc_id",
         n_tok.alias("n_tokens"),

@@ -300,3 +300,184 @@ def pack_shards(
             .alias("shard_id"),
         )
     )
+
+
+def turn_doc_id() -> F.Column:
+    """Reconstruct the source documents.doc_id from an extracted turn's
+    (conv_id, turn_idx) — the inverse of the transcript builder's
+    mapping (conv-skew carries doc_ids 0..99 as turn_idx; conv-%06d
+    number c carries 100 + 8c + turn_idx). A pure expression on the row
+    key, so both engines compute the identical id with no join."""
+    return (
+        F.when(
+            F.col("conv_id") == F.lit("conv-skew"),
+            F.col("turn_idx").cast("long"),
+        )
+        .otherwise(
+            F.lit(100)
+            + F.substring("conv_id", 6, 10).cast("long") * 8
+            + F.col("turn_idx")
+        )
+        .alias("doc_id")
+    )
+
+
+def inverse_turn_key() -> list[F.Column]:
+    """The inverse of ``turn_doc_id``: (conv_id, turn_idx) as pure
+    expressions of doc_id, so the final packing segment never has to
+    join back through the extraction subtree just to re-attach the
+    turn key."""
+    skew = F.col("doc_id") < 100
+    return [
+        F.when(skew, F.lit("conv-skew"))
+        .otherwise(
+            F.format_string(
+                "conv-%06d", ((F.col("doc_id") - 100) / 8).cast("long")
+            )
+        )
+        .alias("conv_id"),
+        F.when(skew, F.col("doc_id"))
+        .otherwise((F.col("doc_id") - 100) % 8)
+        .cast("int")
+        .alias("turn_idx"),
+    ]
+
+
+def _pretrain_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone stage 1 (pre-barrier): extract -> Gopher gate ->
+    (doc_id, text). The gate is gopher_keep_expr applied as a FILTER on
+    the extraction row itself (never a verdict join — a join arm would
+    re-plan the extraction subtree), so like curate_corpus this stage
+    is plan-gated at exactly ONE Arrow stage."""
+    from text_ocr_spark.ops.cleaning import gopher_keep_expr
+    from text_ocr_spark.pipeline import extract_corpus
+
+    ex = extract_corpus(spark, sf_dir).select(
+        "conv_id", "turn_idx", "extracted"
+    )
+    corpus = ex.select(turn_doc_id(), F.col("extracted").alias("text"))
+    return corpus.where(gopher_keep_expr())
+
+
+def _pretrain_strip(gated: DataFrame) -> DataFrame:
+    """Capstone stage 2 (pre-barrier): strip duplicated 13-gram spans
+    -> (doc_id, text). dup_spans references its input several times
+    (windows, token index, passthrough join), so this stage reads the
+    stage-1 barrier, not the raw extraction."""
+    from text_ocr_spark.ops.span_dedup import strip_dup_spans
+
+    return strip_dup_spans(gated).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+
+
+def _pretrain_clean(stripped: DataFrame, heldout: DataFrame) -> DataFrame:
+    """Capstone stage 3 (pre-barrier): near-dup verdicts over the cut
+    text (drop dups), then 3-gram decontamination vs the held-out set
+    (drop hits) -> (doc_id, text)."""
+    from text_ocr_spark.ops.decontam import decontaminate
+    from text_ocr_spark.ops.dedup import neardup_resolve
+
+    kept = stripped.join(
+        neardup_resolve(stripped)
+        .where(F.col("is_dup") == 0)
+        .select("doc_id"),
+        "doc_id",
+    )
+    return kept.join(
+        decontaminate(kept, heldout, ngram=3)
+        .where(F.col("contaminated") == 0)
+        .select("doc_id"),
+        "doc_id",
+    )
+
+
+def _pretrain_select_pack(
+    clean: DataFrame, target: DataFrame, dsir_k: int, max_tokens: int
+) -> DataFrame:
+    """Capstone stage 4: DSIR Gumbel-top-k selection, then token-budget
+    shard packing in doc_id order; conv/turn re-attach by the pure
+    inverse key (no join back through extraction). Plan-gated: zero
+    Arrow stages above the stage-2 barrier."""
+    from text_ocr_spark.ops.dsir import dsir_select
+
+    selected = clean.join(
+        dsir_select(clean, target, k=dsir_k)
+        .where(F.col("selected") == 1)
+        .select("doc_id"),
+        "doc_id",
+    )
+    return pack_shards(selected, max_tokens=max_tokens).select(
+        "doc_id", *inverse_turn_key(), "n_tokens", "shard_id"
+    )
+
+
+def pretrain_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    dsir_k: int = 128,
+    max_tokens: int = 2048,
+) -> DataFrame:
+    """The full-surface capstone (VERDICT r4 item 4) — the published
+    pre-training data pipeline shape, cross-family, oracle-gated:
+
+        extract -> Gopher quality gate -> strip duplicated spans
+        (Lee 2021) -> MinHash near-dup verdicts (drop dups) ->
+        3-gram decontamination vs a held-out slice (drop hits) ->
+        DSIR top-k selection -> token-budget shard packing
+
+    -> (doc_id, conv_id, turn_idx, n_tokens, shard_id) for the selected
+    turns, shard-packed in doc_id order.
+
+    Stage choices, pinned to this corpus honestly:
+    - Gopher is the quality gate; C4's line filter is NOT in the chain
+      because the synthetic transcripts carry no terminal punctuation
+      (avg 0.064 kept lines/doc measured) — it would zero the corpus.
+      c4_line_filter stays a standalone contract row.
+    - Decontamination runs in 3-gram shingle mode: whole-doc unigram
+      jaccard flags 64% of this shared-vocabulary corpus (token SETS
+      are blind to order), the order-sensitive shingle unit flags
+      exactly the held-out slice's own turns.
+    - The held-out set (doc_id % 13) and the DSIR target (doc_id % 11)
+      are slices of the RAW documents table — the extracted turns must
+      match them through the extraction normalization, which is the
+      production shape (eval benchmarks are never pre-normalized by
+      your own pipeline).
+
+    Plan shape (gated per segment in tests/test_cleaning.py): the chain
+    materializes THREE stage boundaries — the gated corpus after
+    stage 1, the stripped corpus after stage 2, the clean corpus after
+    stage 3 — via lazy localCheckpoint, the local stand-in for the
+    stage-output Iceberg writes a production pipeline performs between
+    major phases. Without a barrier, every downstream self-join arm
+    (dup_spans' window/token-index/passthrough references, banding a/b,
+    membership joins, verdict attaches, DSIR's two passes) would
+    re-plan the whole upstream: the arms prune different columns, so
+    their subtrees canonicalize differently and ReuseExchange cannot
+    dedupe them — the barrier-free DAG measured 1399 duplicated
+    Arrow-stage nodes and ~25x wall-clock. With the barriers, the
+    extraction Arrow stage executes exactly once (stage 1 applies
+    Gopher as a row FILTER via gopher_keep_expr, never a verdict
+    join), span surgery reads the gated corpus, the dedup family reads
+    the stripped corpus, and selection/packing read the clean corpus
+    (whose final segment is Arrow-free — conv/turn re-attach by the
+    pure inverse key, never a join back through extraction). Bounded
+    auxiliary actions (the dedup probe, the CC fixed point over
+    localCheckpointed edges, decontamination's test-side probe, DSIR's
+    <= n_buckets model build) are the ops' own documented driver
+    actions."""
+    gated = _pretrain_gate(spark, sf_dir).localCheckpoint(eager=False)
+    stripped = _pretrain_strip(gated).localCheckpoint(eager=False)
+    heldout = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 13 == 0)
+        .select("doc_id", "text")
+    )
+    clean = _pretrain_clean(stripped, heldout).localCheckpoint(eager=False)
+    target = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 11 == 0)
+        .select("doc_id", "text")
+    )
+    return _pretrain_select_pack(clean, target, dsir_k, max_tokens)

@@ -20,3 +20,9 @@ def count_arrow_stages(df: DataFrame) -> int:
     """Number of MapInPandas nodes in the formatted plan (each node's
     numbered detail header counted once)."""
     return len(re.findall(r"\(\d+\) MapInPandas", plan_str(df)))
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of Exchange nodes in the formatted plan (numbered detail
+    headers, so ReuseExchange references are not double-counted)."""
+    return len(re.findall(r"\(\d+\) Exchange", plan_str(df)))
