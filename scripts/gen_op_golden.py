@@ -491,6 +491,116 @@ def golden_media_features(docs: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# trained lang-id (spec: ops/lang_clf.py — one-vs-rest fixed-point
+# logistic heads over hashed char-3-grams, fastText lang-id shape)
+# --------------------------------------------------------------------------
+
+LANGID_BUCKETS = 2048
+LANGID_NGRAM = 3
+LANGID_ITERS = 8
+LANGID_LR = 2.0
+
+
+def _langid_grams(text) -> list[int]:
+    """Char-3-gram buckets of lower(trim(text)) — trim is SPACES-ONLY
+    to match Spark F.trim (the bpe/lm whitespace discipline)."""
+    if text is None:
+        return []
+    s = str(text).lower().strip(" ")
+    if len(s) < LANGID_NGRAM:
+        return []
+    return [
+        int(
+            hashlib.md5(s[i : i + LANGID_NGRAM].encode()).hexdigest()[:8],
+            16,
+        )
+        % LANGID_BUCKETS
+        for i in range(len(s) - LANGID_NGRAM + 1)
+    ]
+
+
+def _logistic_replay(featured, iters, lr):
+    """The quality_train math in pure Python over [(counts, n, y)]
+    rows — shared shape with golden_quality_clf's inline loop."""
+    n_docs = len(featured)
+    w: dict[int, int] = {}
+    w0 = 0
+    for _ in range(iters):
+        gsum: dict[int, int] = {}
+        bias_g = 0
+        for c, n, y in featured:
+            sm = sum(cnt * w.get(b, 0) for b, cnt in c.items())
+            z = w0 / QCLF_SCALE + sm / (n * float(QCLF_SCALE))
+            rq = _half_up((1.0 / (1.0 + math.exp(-z)) - y) * QCLF_SCALE)
+            bias_g += rq
+            for b, cnt in c.items():
+                gsum[b] = gsum.get(b, 0) + _half_up(rq * cnt / n)
+        for b, g in gsum.items():
+            w[b] = w.get(b, 0) - _half_up(lr * g / n_docs)
+        w0 -= _half_up(lr * bias_g / n_docs)
+    return w0, w
+
+
+def golden_langid_weights() -> pd.DataFrame:
+    """Independent pure-Python retrain of the committed lang-id model
+    over the deterministic fixture (ops/lang_clf.py::langid_fixture is
+    replayed here verbatim — md5 arithmetic only)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from text_ocr_spark.ops.lang_clf import langid_fixture
+
+    fx = langid_fixture()
+    langs = sorted({lang for _, _, lang in fx})
+    feats = []
+    for _d, text, lang in fx:
+        c = Counter(_langid_grams(text))
+        feats.append((c, sum(c.values()), lang))
+    rows = []
+    for lang in langs:
+        featured = [
+            (c, n, 1.0 if lg == lang else 0.0)
+            for c, n, lg in feats
+            if n > 0
+        ]
+        w0, w = _logistic_replay(featured, LANGID_ITERS, LANGID_LR)
+        rows.append((lang, -1, w0))
+        rows.extend((lang, int(b), int(m)) for b, m in sorted(w.items()))
+    return pd.DataFrame(rows, columns=["lang", "b", "w_micro"])
+
+
+def golden_langid(docs: pd.DataFrame, weights: pd.DataFrame) -> pd.DataFrame:
+    """Classify the corpus with the (replayed) weights in pure Python:
+    z_L = w0_L + half_up(s_L / n), argmax with lang-order tie-break."""
+    langs = sorted(weights["lang"].unique())
+    bias = {
+        r.lang: int(r.w_micro)
+        for r in weights[weights["b"] == -1].itertuples()
+    }
+    wt: dict[str, dict[int, int]] = {lang: {} for lang in langs}
+    for r in weights[weights["b"] != -1].itertuples():
+        wt[r.lang][int(r.b)] = int(r.w_micro)
+    rows = []
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        c = Counter(_langid_grams(t))
+        n = sum(c.values())
+        best = None
+        for rank, lang in enumerate(langs):
+            if n > 0:
+                s = sum(cnt * wt[lang].get(b, 0) for b, cnt in c.items())
+                z = bias[lang] + _half_up(s / n)
+            else:
+                z = bias[lang]
+            key = (z, -rank)
+            if best is None or key > best[0]:
+                best = (key, lang, z)
+        rows.append((int(d), int(n), best[1], int(best[2])))
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_grams", "lang_pred", "z_micro"]
+    )
+
+
 def _write(df: pd.DataFrame, schema: pa.Schema, path: str) -> None:
     pq.write_table(
         pa.Table.from_pandas(df, schema=schema, preserve_index=False), path
@@ -499,6 +609,17 @@ def _write(df: pd.DataFrame, schema: pa.Schema, path: str) -> None:
 
 
 def main(sfs: list[str]) -> None:
+    # sf-independent: the committed lang-id model (pure-Python retrain
+    # over the deterministic fixture — the contract row classifies with
+    # exactly this table; tests pin Spark training equal at reduced size)
+    lw = golden_langid_weights()
+    _write(
+        lw,
+        pa.schema(
+            [("lang", pa.string()), ("b", pa.int64()), ("w_micro", pa.int64())]
+        ),
+        "fixturedata/langid_weights.parquet",
+    )
     for sf in sfs:
         t0 = time.time()
         docs = duckdb.sql(
@@ -549,6 +670,16 @@ def main(sfs: list[str]) -> None:
                 ]
             ),
             f"fixturedata/golden_bpe_{sf}.parquet",
+        )
+        _write(
+            golden_langid(docs, lw),
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()), ("n_grams", pa.int64()),
+                    ("lang_pred", pa.string()), ("z_micro", pa.int64()),
+                ]
+            ),
+            f"fixturedata/golden_langid_{sf}.parquet",
         )
         _write(
             golden_quality_clf(docs),

@@ -122,7 +122,7 @@ def test_registry_head_covers_every_family():
     head, tail = names[:50], names[50:]
     for required in (
         "multimodal_meta", "multimodal_features", "multimodal_frames",
-        "multimodal_resize", "dedup_minhash_shingled", "ivf_train",
+        "multimodal_resize", "ivf_train",
         "dedup_minhash", "dedup_resolve", "stream_dedup", "curate_corpus",
         "decontaminate", "frequent_ngrams",
         "dup_spans", "sample_stratified", "pack_shards",
@@ -133,6 +133,8 @@ def test_registry_head_covers_every_family():
         "bpe_tokenize",
         # r5: the full-surface capstone (VERDICT r4 item 4)
         "pretrain_pipeline",
+        # r5: trained lang-id head (VERDICT r4 item 5)
+        "lang_id_trained",
     ):
         assert required in head, required
     assert set(tail) <= {
@@ -181,4 +183,10 @@ def test_registry_head_covers_every_family():
         # bucketed-ANN variant next to in-window knn_ivf; recall pytest
         # + retained exact oracle
         "knn_lsh",
+        # r5 demotion (head slot -> lang_id_trained): parameter twin of
+        # in-window dedup_minhash (ngram=3 w-shingle tokenizer, which
+        # also runs in-window via pretrain_pipeline's ngram=3
+        # decontamination); exact shingled oracle retained + shingle
+        # pytests
+        "dedup_minhash_shingled",
     }

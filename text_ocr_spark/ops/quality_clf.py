@@ -69,10 +69,12 @@ def _unigram_occurrences(docs: DataFrame, n_buckets: int) -> DataFrame:
     ).select("doc_id", _hash_bucket(F.col("tok"), n_buckets).alias("b"))
 
 
-def _feats(docs: DataFrame, n_buckets: int) -> DataFrame:
+def _feats(docs: DataFrame, n_buckets: int, occurrences=None) -> DataFrame:
     """-> (doc_id, b, c, n): per-doc bucket counts plus the doc's total
-    token count (training-side only — bounded labeled samples)."""
-    occ = _unigram_occurrences(docs, n_buckets)
+    token count (training-side only — bounded labeled samples).
+    ``occurrences`` swaps the featurizer (default hashed word unigrams;
+    ops/lang_clf.py passes hashed char n-grams)."""
+    occ = (occurrences or _unigram_occurrences)(docs, n_buckets)
     per_doc = occ.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
     totals = occ.groupBy("doc_id").agg(F.count("*").alias("n"))
     return per_doc.join(totals, "doc_id")
@@ -84,6 +86,7 @@ def quality_train(
     n_buckets: int = DEFAULT_BUCKETS,
     iters: int = DEFAULT_ITERS,
     lr: float = DEFAULT_LR,
+    occurrences=None,
 ) -> DataFrame:
     """Train the logistic quality model on labeled samples.
 
@@ -108,7 +111,7 @@ def quality_train(
         )
     )
     feats = (
-        _feats(labeled.select(F.col("doc_id"), "text"), n_buckets)
+        _feats(labeled.select(F.col("doc_id"), "text"), n_buckets, occurrences)
         .join(labeled.select("doc_id", "y"), "doc_id")
         .localCheckpoint()  # bounded training frame, reused every epoch
     )
