@@ -142,6 +142,43 @@ def _decontaminate_df(spark, docs, dense=None):
     return decontaminate(docs, test, threshold=0.8, dense=dense)
 
 
+def _pretrain_segments(spark):
+    from pyspark.sql import functions as F
+
+    from text_ocr_spark.ops.curate import (
+        _pretrain_clean,
+        _pretrain_gate,
+        _pretrain_select_pack,
+        _pretrain_strip,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    gate = _pretrain_gate(spark, SF)
+    gated = gate.localCheckpoint(eager=False)
+    strip = _pretrain_strip(gated)
+    stripped = strip.localCheckpoint(eager=False)
+    clean = _pretrain_clean(
+        stripped, docs.where("doc_id % 13 = 0").select("doc_id", "text")
+    )
+    cleaned = clean.localCheckpoint(eager=False)
+    final = _pretrain_select_pack(
+        cleaned,
+        docs.where("doc_id % 11 = 0").select("doc_id", "text"),
+        dsir_k=128,
+        max_tokens=2048,
+    )
+    return gate, final
+
+
+def _langid_classify_df(spark, docs):
+    from text_ocr_spark.ops.lang_clf import langid_classify
+
+    w = spark.read.parquet(
+        os.path.join(REPO, "fixturedata/langid_weights.parquet")
+    )
+    return langid_classify(docs.select("doc_id", "text"), w)
+
+
 def main() -> int:
     from text_ocr_spark.ops.dedup import embed_pairs, minhash_dedup
     from text_ocr_spark.ops.text_stats import frequent_ngrams
@@ -487,6 +524,50 @@ def main() -> int:
             _sample_stratified_df(docs),
         ),
     ]
+
+    pre_gate, pre_final = _pretrain_segments(spark)
+    sections.append(
+        (
+            "pretrain_pipeline stage 1 (extract -> Gopher row-filter gate)",
+            "The capstone's spine: the Gopher verdict applies as a row "
+            "FILTER (gopher_keep_expr) on the extraction output itself, "
+            "so the whole stage is the extraction's ONE salted exchange "
+            "+ ONE fused MapInPandas — the extraction Arrow stage "
+            "appears exactly once in the whole pipeline. Each stage "
+            "materializes at a lazy localCheckpoint barrier (the "
+            "Iceberg stage-write stand-in): without barriers the "
+            "downstream self-join arms prune different columns, their "
+            "subtrees canonicalize differently, ReuseExchange cannot "
+            "dedupe them, and the plan measured 1399 duplicated "
+            "Arrow-stage nodes (~25x wall-clock).",
+            pre_gate,
+        )
+    )
+    sections.append(
+        (
+            "pretrain_pipeline stage 4 (DSIR select -> pack_shards)",
+            "The selection/packing segment above the stage-3 barrier is "
+            "entirely JVM (zero Arrow stages, plan-gated): dsir scoring "
+            "rides its broadcast log-ratio table, packing is the "
+            "two-level prefix sum, and conv/turn re-attach by the pure "
+            "INVERSE of the doc-id mapping — never a join back through "
+            "the extraction subtree.",
+            pre_final,
+        )
+    )
+    sections.append(
+        (
+            "langid_classify (trained lang-id, corpus pass)",
+            "The weight table pivots to one column per language and "
+            "broadcasts; ONE map-side-combined groupBy(doc_id) computes "
+            "the gram count and every language's weight sum together "
+            "(one Generate = one char-3-gram explode), and the argmax "
+            "is an array_max over exact-integer (z, -rank, lang) "
+            "structs — no Python, one corpus-wide shuffle of one row "
+            "per document.",
+            _langid_classify_df(spark, docs),
+        )
+    )
 
     out = [
         "# PLANS — captured physical plans (regenerate: "
